@@ -1,0 +1,93 @@
+"""TPU-native array backend configuration.
+
+Replaces the NumPy/CuPy ``xp`` shim of the reference
+(``renormalizer/mps/backend.py:29-216``) with a JAX dtype/device policy.
+
+Design notes (TPU-first):
+
+* All site tensors, environments and iterative-solver state live on device as
+  ``jax.Array``.  Host round-trips are reserved for tiny metadata (quantum
+  number bookkeeping, singular values for truncation decisions) because on
+  tunneled TPU setups a single host<->device copy costs tens of milliseconds.
+* dtype policy: TPUs do not support complex128 (float64 is emulated).  The
+  default is therefore float64/complex128 on CPU (numerical parity with the
+  reference) and float32/complex64 on TPU (native speed).  Override with the
+  ``RENO_DTYPE`` environment variable (``fp64`` or ``fp32``).
+"""
+
+import logging
+import os
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def _decide_dtype_bits() -> int:
+    env = os.environ.get("RENO_DTYPE", "").lower()
+    if env in ("fp64", "64", "float64"):
+        return 64
+    if env in ("fp32", "32", "float32"):
+        return 32
+    # decide by platform: CPU -> fp64, TPU/GPU -> fp32
+    import jax
+
+    try:
+        platform = jax.default_backend()
+    except Exception:  # pragma: no cover - no device at all
+        platform = "cpu"
+    return 64 if platform == "cpu" else 32
+
+
+class Backend:
+    """Singleton holding the dtype policy and PRNG state."""
+
+    def __init__(self):
+        import jax
+
+        self._bits = _decide_dtype_bits()
+        if self._bits == 64:
+            jax.config.update("jax_enable_x64", True)
+        self.jax = jax
+        self._seed = 2019
+        self.canonical_atol = 1e-3 if self._bits == 32 else 1e-5
+        self.canonical_rtol = 1e-2 if self._bits == 32 else 1e-5
+        logger.info(
+            "renormalizer_tpu backend: platform=%s precision=fp%d",
+            jax.default_backend(), self._bits,
+        )
+
+    @property
+    def is_32bits(self) -> bool:
+        return self._bits == 32
+
+    @property
+    def real_dtype(self):
+        return np.float32 if self._bits == 32 else np.float64
+
+    @property
+    def complex_dtype(self):
+        return np.complex64 if self._bits == 32 else np.complex128
+
+    def use_32bits(self):
+        self._bits = 32
+
+    def use_64bits(self):
+        self.jax.config.update("jax_enable_x64", True)
+        self._bits = 64
+
+    @property
+    def seed(self):
+        return self._seed
+
+    def sync(self):
+        """Block until all dispatched device work completes (for timing)."""
+        import jax
+
+        jax.effects_barrier()
+
+
+backend = Backend()
+
+OE_BACKEND = "jax"
+USE_TPU = backend.jax.default_backend() == "tpu"
