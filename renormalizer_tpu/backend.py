@@ -23,6 +23,19 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
+def _apply_platform_override():
+    """Honor ``RENO_PLATFORM`` even when a site hook (e.g. the axon TPU
+    relay) has pinned ``jax_platforms`` programmatically."""
+    platform = os.environ.get("RENO_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
+_apply_platform_override()
+
+
 def _decide_dtype_bits() -> int:
     env = os.environ.get("RENO_DTYPE", "").lower()
     if env in ("fp64", "64", "float64"):
@@ -39,6 +52,26 @@ def _decide_dtype_bits() -> int:
     return 64 if platform == "cpu" else 32
 
 
+def _setup_compilation_cache():
+    """Persistent XLA compilation cache: DMRG sweeps trace many distinct
+    shapes; caching them across processes removes most compile latency."""
+    import jax
+
+    cache_dir = os.environ.get(
+        "RENO_COMPILE_CACHE", os.path.expanduser("~/.cache/renormalizer_tpu_xla")
+    )
+    # CPU AOT cache entries are machine-feature sensitive and can SIGILL
+    # when reloaded; only cache for accelerator backends
+    if jax.default_backend() == "cpu":
+        return
+    if cache_dir and cache_dir.lower() != "off":
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+        except Exception:  # pragma: no cover - older jax
+            pass
+
+
 class Backend:
     """Singleton holding the dtype policy and PRNG state."""
 
@@ -48,6 +81,7 @@ class Backend:
         self._bits = _decide_dtype_bits()
         if self._bits == 64:
             jax.config.update("jax_enable_x64", True)
+        _setup_compilation_cache()
         self.jax = jax
         self._seed = 2019
         self.canonical_atol = 1e-3 if self._bits == 32 else 1e-5

@@ -1,0 +1,319 @@
+r"""Device-native iterative solvers.
+
+TPU-first replacements for the reference's vendored numerics:
+
+* :func:`davidson` — lowest-eigenpair Davidson, fully fused into one XLA
+  ``lax.while_loop`` (replaces PySCF's host Davidson,
+  ``renormalizer/lib/davidson/davidson.py:73-460``).  The trial basis lives
+  in a fixed-size on-device workspace; subspace diagonalization is masked so
+  shapes stay static.  Zero host syncs until the result is read.
+* :func:`expm_krylov` — Lanczos approximation of ``expm(dt*A) v`` with full
+  reorthogonalization in a fixed-size Krylov space
+  (replaces ``renormalizer/lib/krylov/krylov.py:27-100``).
+* :func:`solve_ivp` — adaptive RKF45, host-driven control loop around a
+  (possibly jitted) right-hand side (replaces the vendored SciPy ``solve_ivp``
+  of ``renormalizer/lib/integrate``).  Only the scalar error norm is pulled
+  to the host per step.
+"""
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_BIG = 1e30
+
+
+# ---------------------------------------------------------------------------
+# Davidson
+# ---------------------------------------------------------------------------
+
+class _DavidsonState(NamedTuple):
+    V: jnp.ndarray        # (S, N) trial basis, rows orthonormal
+    W: jnp.ndarray        # (S, N) H @ V
+    size: jnp.ndarray     # current basis size
+    theta: jnp.ndarray    # current ritz value
+    x: jnp.ndarray        # current ritz vector
+    hx: jnp.ndarray       # H @ x
+    rnorm: jnp.ndarray    # residual norm
+    it: jnp.ndarray
+
+
+def davidson(
+    hop: Callable,
+    x0,
+    hdiag,
+    tol: float = 1e-10,
+    max_cycle: int = 100,
+    max_space: int = 12,
+):
+    """Lowest eigenpair of the (hermitian) operator ``hop``.
+
+    Returns ``(theta, x, niter)`` as device arrays.  ``x0`` and ``hdiag``
+    are flat device vectors in the qn-masked subspace.
+    """
+    x0 = jnp.asarray(x0)
+    hdiag = jnp.asarray(hdiag)
+    N = x0.shape[0]
+    S = min(max_space, N)
+    dtype = x0.dtype
+
+    def body(st: _DavidsonState) -> _DavidsonState:
+        # subspace matrix with masked padding
+        G = st.V.conj() @ st.W.T
+        G = (G + G.conj().T) / 2
+        mask = jnp.arange(S) >= st.size
+        G = G + jnp.diag(jnp.where(mask, _BIG, 0.0)).astype(G.dtype)
+        w_eig, c = jnp.linalg.eigh(G)
+        c0 = c[:, 0]
+        theta = w_eig[0].real
+        x = c0 @ st.V
+        hx = c0 @ st.W
+        r = hx - theta * x
+        rnorm = jnp.linalg.norm(r).real
+
+        # preconditioned new direction, orthogonalized twice against V
+        t = r / (hdiag - theta + 1e-4)
+        for _ in range(2):
+            t = t - st.V.T @ (st.V.conj() @ t)
+        tnorm = jnp.linalg.norm(t)
+        t = jnp.where(tnorm > 1e-14, t / tnorm, t)
+
+        # thick restart when the workspace is full: collapse to the ritz pair
+        restart = st.size >= S
+        V = jnp.where(restart, jnp.zeros_like(st.V).at[0].set(x), st.V)
+        W = jnp.where(restart, jnp.zeros_like(st.W).at[0].set(hx), st.W)
+        size = jnp.where(restart, 1, st.size)
+
+        t = t - V.T @ (V.conj() @ t)
+        tnorm2 = jnp.linalg.norm(t)
+        t = jnp.where(tnorm2 > 1e-14, t / tnorm2, t)
+        V = V.at[size % S].set(t)
+        W = W.at[size % S].set(hop(t))
+        return _DavidsonState(V, W, size + 1, theta, x, hx, rnorm, st.it + 1)
+
+    def cond(st: _DavidsonState):
+        return (st.rnorm > tol) & (st.it < max_cycle)
+
+    v0 = x0 / jnp.linalg.norm(x0)
+    V = jnp.zeros((S, N), dtype=dtype).at[0].set(v0)
+    W = jnp.zeros((S, N), dtype=dtype).at[0].set(hop(v0))
+    init = _DavidsonState(
+        V, W, jnp.asarray(1), jnp.asarray(jnp.inf, dtype=jnp.real(x0).dtype),
+        v0, W[0], jnp.asarray(jnp.inf, dtype=jnp.real(x0).dtype), jnp.asarray(0),
+    )
+    st = jax.lax.while_loop(cond, body, init)
+    return st.theta, st.x, st.it
+
+
+def davidson_multiroot(
+    hop: Callable,
+    x0_list,
+    hdiag,
+    nroots: int,
+    tol: float = 1e-9,
+    max_cycle: int = 100,
+    max_space: int = None,
+):
+    """Block Davidson for the ``nroots`` lowest eigenpairs, fully fused.
+
+    Used by state-averaged DMRG and TDA (reference callers
+    ``renormalizer/mps/gs.py:536-538``).  Returns (thetas, X, niter) with
+    ``X`` of shape (nroots, N).
+    """
+    X0 = jnp.stack([jnp.asarray(x) for x in x0_list])
+    N = X0.shape[1]
+    hdiag = jnp.asarray(hdiag)
+    if max_space is None:
+        max_space = max(4 * nroots, 12)
+    S = min(max_space, N)
+    dtype = X0.dtype
+
+    def orth_rows(M):
+        # Gram-Schmidt orthonormalize rows (differentiably safe enough here)
+        q, _ = jnp.linalg.qr(M.T, mode="reduced")
+        return q.T
+
+    def body(carry):
+        V, W, size, thetas, X, rmax, it = carry
+        G = V.conj() @ W.T
+        G = (G + G.conj().T) / 2
+        mask = jnp.arange(S) >= size
+        G = G + jnp.diag(jnp.where(mask, _BIG, 0.0)).astype(G.dtype)
+        w_eig, c = jnp.linalg.eigh(G)
+        cs = c[:, :nroots]
+        thetas = w_eig[:nroots].real
+        X = cs.T @ V
+        HX = cs.T @ W
+        R = HX - thetas[:, None] * X
+        rnorms = jnp.linalg.norm(R, axis=1).real
+        rmax = jnp.max(rnorms)
+
+        T = R / (hdiag[None, :] - thetas[:, None] + 1e-4)
+        for _ in range(2):
+            T = T - (T @ V.conj().T) @ V
+
+        restart = size + nroots > S
+        V = jnp.where(restart, jnp.zeros_like(V).at[:nroots].set(orth_rows(X)), V)
+        W_restart = jnp.zeros_like(W)
+        # recompute W for the restarted orthonormalized basis
+        Vr = V[:nroots]
+        W_restart = W_restart.at[:nroots].set(
+            jax.vmap(hop)(Vr)
+        )
+        W = jnp.where(restart, W_restart, W)
+        size = jnp.where(restart, nroots, size)
+
+        T = T - (T @ V.conj().T) @ V
+        T = orth_rows(T)
+        idx = size + jnp.arange(nroots)
+        V = V.at[idx % S].set(T)
+        W = W.at[idx % S].set(jax.vmap(hop)(T))
+        return (V, W, size + nroots, thetas, X, rmax, it + 1)
+
+    def cond(carry):
+        _, _, _, _, _, rmax, it = carry
+        return (rmax > tol) & (it < max_cycle)
+
+    V = jnp.zeros((S, N), dtype=dtype)
+    V = V.at[:nroots].set(orth_rows(X0))
+    W = jnp.zeros((S, N), dtype=dtype)
+    W = W.at[:nroots].set(jax.vmap(hop)(V[:nroots]))
+    init = (
+        V, W, jnp.asarray(nroots),
+        jnp.full((nroots,), jnp.inf, dtype=jnp.real(X0).dtype),
+        V[:nroots],
+        jnp.asarray(jnp.inf, dtype=jnp.real(X0).dtype), jnp.asarray(0),
+    )
+    V, W, size, thetas, X, rmax, it = jax.lax.while_loop(cond, body, init)
+    return thetas, X, it
+
+
+# ---------------------------------------------------------------------------
+# Lanczos expm
+# ---------------------------------------------------------------------------
+
+def expm_krylov(hop: Callable, dt, v0, max_m: int = 30, tol: float = 1e-12):
+    """Approximate ``expm(dt * A) @ v0`` for hermitian ``A`` via Lanczos with
+    full reorthogonalization (reference ``lib/krylov/krylov.py:27-100``).
+
+    ``dt`` may be complex (real-time evolution uses ``-1j*tau``).
+    Returns ``(w, m_used)`` as device arrays.
+    """
+    v0 = jnp.asarray(v0)
+    N = v0.shape[0]
+    m_max = int(min(max_m, N))
+    beta0 = jnp.linalg.norm(v0)
+    dt = jnp.asarray(dt)
+    out_dtype = jnp.result_type(v0.dtype, dt.dtype)
+
+    def lanczos_step(carry, j):
+        V, alpha, beta, vprev_beta = carry
+        v = V[j]
+        w = hop(v)
+        a = jnp.real(jnp.vdot(v, w))
+        w = w - a * v - vprev_beta[1] * vprev_beta[0]
+        # full reorthogonalization (mask handled by zero rows of V)
+        w = w - V.T @ (V.conj() @ w)
+        b = jnp.linalg.norm(w).real
+        vnext = jnp.where(b > 1e-14, w / b, jnp.zeros_like(w))
+        V = V.at[j + 1].set(vnext)
+        alpha = alpha.at[j].set(a)
+        beta = beta.at[j].set(b)
+        return (V, alpha, beta, (v, b)), None
+
+    V = jnp.zeros((m_max + 1, N), dtype=v0.dtype).at[0].set(v0 / beta0)
+    alpha = jnp.zeros(m_max, dtype=jnp.real(v0).dtype)
+    beta = jnp.zeros(m_max, dtype=jnp.real(v0).dtype)
+    (V, alpha, beta, _), _ = jax.lax.scan(
+        lanczos_step, (V, alpha, beta, (jnp.zeros_like(v0), jnp.asarray(0.0, jnp.real(v0).dtype))),
+        jnp.arange(m_max),
+    )
+
+    # tridiagonal T; padding rows contribute zero couplings so using the full
+    # m_max x m_max matrix is exact once beta hits zero
+    T = (
+        jnp.diag(alpha)
+        + jnp.diag(beta[: m_max - 1], 1)
+        + jnp.diag(beta[: m_max - 1], -1)
+    )
+    w_eig, u = jnp.linalg.eigh(T)
+    e1 = u[0, :].conj()
+    coef = (u * jnp.exp(dt * w_eig)[None, :]) @ e1
+    w = (beta0 * coef.astype(out_dtype)) @ V[:m_max].astype(out_dtype)
+    return w, jnp.asarray(m_max)
+
+
+# ---------------------------------------------------------------------------
+# adaptive RKF45 initial-value solver
+# ---------------------------------------------------------------------------
+
+class IvpResult(NamedTuple):
+    y: jnp.ndarray
+    t: float
+    nfev: int
+    nsteps: int
+
+
+# Fehlberg 4(5) coefficients
+_FB_A = np.array(
+    [
+        [0, 0, 0, 0, 0],
+        [1 / 4, 0, 0, 0, 0],
+        [3 / 32, 9 / 32, 0, 0, 0],
+        [1932 / 2197, -7200 / 2197, 7296 / 2197, 0, 0],
+        [439 / 216, -8, 3680 / 513, -845 / 4104, 0],
+        [-8 / 27, 2, -3544 / 2565, 1859 / 4104, -11 / 40],
+    ]
+)
+_FB_C = np.array([0, 1 / 4, 3 / 8, 12 / 13, 1, 1 / 2])
+_FB_B5 = np.array([16 / 135, 0, 6656 / 12825, 28561 / 56430, -9 / 50, 2 / 55])
+_FB_B4 = np.array([25 / 216, 0, 1408 / 2565, 2197 / 4104, -1 / 5, 0])
+
+
+def solve_ivp(fun, t_span, y0, rtol=1e-5, atol=1e-8, max_steps=100000, first_step=None):
+    """Adaptive RKF45 integration of ``dy/dt = fun(t, y)`` from ``t_span[0]``
+    to ``t_span[1]``.  Host-driven control loop; the six stage evaluations per
+    step run on device.  Returns :class:`IvpResult` (final state only)."""
+    t0, t1 = t_span
+    y = jnp.asarray(y0)
+    direction = np.sign(t1 - t0) if t1 != t0 else 1.0
+    span = abs(t1 - t0)
+    if span == 0:
+        return IvpResult(y, t0, 0, 0)
+    h = first_step if first_step is not None else span / 100
+    h = min(h, span)
+    t = t0
+    nfev = 0
+    nsteps = 0
+    while (t - t1) * direction < 0 and nsteps < max_steps:
+        h = min(h, abs(t1 - t))
+        dt = direction * h
+        ks = []
+        for i in range(6):
+            yi = y
+            for j in range(i):
+                if _FB_A[i, j] != 0:
+                    yi = yi + dt * _FB_A[i, j] * ks[j]
+            ks.append(jnp.asarray(fun(t + _FB_C[i] * dt, yi)))
+            nfev += 1
+        y5 = y
+        y4 = y
+        for i in range(6):
+            if _FB_B5[i] != 0:
+                y5 = y5 + dt * _FB_B5[i] * ks[i]
+            if _FB_B4[i] != 0:
+                y4 = y4 + dt * _FB_B4[i] * ks[i]
+        scale = atol + rtol * float(jnp.max(jnp.abs(y5)))
+        err = float(jnp.linalg.norm(y5 - y4)) / (scale * np.sqrt(y.size))
+        if err <= 1.0 or h <= span * 1e-12:
+            t = t + dt
+            y = y5
+            nsteps += 1
+            factor = 2.0 if err == 0 else min(2.0, max(0.2, 0.9 * err ** (-0.2)))
+            h = h * factor
+        else:
+            h = h * max(0.2, 0.9 * err ** (-0.2))
+    return IvpResult(y, t, nfev, nsteps)

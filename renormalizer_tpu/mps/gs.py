@@ -1,0 +1,441 @@
+r"""DMRG ground-state and state-averaged excited-state optimization.
+
+Reference ``renormalizer/mps/gs.py:34-576``.  TPU design: the hot loop is the
+qn-masked effective-H matvec inside Davidson, which here runs as a single
+fused ``lax.while_loop`` on device (``renormalizer_tpu.lib.solvers.davidson``)
+— no host round-trips during the eigensolve.  Small local problems fall back
+to a dense on-device ``eigh``.
+"""
+
+import logging
+from typing import List, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from renormalizer_tpu.lib.solvers import davidson, davidson_multiroot
+from renormalizer_tpu.mps.lib import Environ, cvec2cmat
+from renormalizer_tpu.mps.mpo import Mpo, StackedMpo
+from renormalizer_tpu.mps.mps import Mps
+from renormalizer_tpu.mps.svd_qn import get_qn_mask
+from renormalizer_tpu.ops.contract import hop_diag, hop_dense, hop_expr, tensordot1
+from renormalizer_tpu.utils import CompressConfig, CompressCriteria, Quantity
+
+logger = logging.getLogger(__name__)
+
+
+def construct_mps_mpo(model, mmax, nexciton, offset=Quantity(0)):
+    """Convenience builder (reference ``gs.py:34-51``)."""
+    mpo = Mpo(model, offset=offset)
+    mps = Mps.random(model, nexciton, mmax, percent=1)
+    return mps, mpo
+
+
+def optimize_mps(mps: Mps, mpo: Union[Mpo, StackedMpo], omega: float = None) -> Tuple[List, Mps]:
+    r"""DMRG sweeps following ``mps.optimize_config.procedure``
+    (reference ``gs.py:54-171``).
+
+    ``omega`` targets interior eigenpairs by optimizing (H - omega)^2.
+    Returns (macro-sweep energies, optimized MPS).
+    """
+    assert mps.optimize_config.method in ("2site", "1site")
+    logger.info(f"optimization method: {mps.optimize_config.method}")
+    logger.info(f"procedure: {mps.optimize_config.procedure}")
+
+    if mps.is_left_canonical:
+        mps.ensure_right_canonical()
+        env = "R"
+    else:
+        mps.ensure_left_canonical()
+        env = "L"
+
+    compress_config_bk = mps.compress_config
+
+    if omega is not None:
+        if isinstance(mpo, StackedMpo):
+            raise NotImplementedError("StackedMpo + omega is not implemented yet")
+        identity = Mpo.identity(mpo.model)
+        mpo = mpo.add(identity.scale(-omega))
+        environ = Environ(mps, [mpo, mpo], env)
+    elif isinstance(mpo, StackedMpo):
+        environ = [Environ(mps, item, env) for item in mpo.mpos]
+    else:
+        environ = Environ(mps, mpo, env)
+
+    macro_iteration_result = []
+    opt_e_idx = None
+    res_mps: Union[Mps, List[Mps]] = None
+    for isweep, (compress_config, percent) in enumerate(mps.optimize_config.procedure):
+        logger.debug(f"isweep: {isweep}")
+        if isinstance(compress_config, CompressConfig):
+            mps.compress_config = compress_config
+        elif isinstance(compress_config, int):
+            mps.compress_config = CompressConfig(
+                criteria=CompressCriteria.fixed, max_bonddim=compress_config
+            )
+        else:
+            raise AssertionError
+        logger.debug(f"compress config: {compress_config}, percent: {percent}")
+
+        micro_iteration_result, res_mps, mpo = single_sweep(
+            mps, mpo, environ, omega, percent, opt_e_idx
+        )
+        opt_e = min(micro_iteration_result)
+        macro_iteration_result.append(opt_e[0])
+        opt_e_idx = opt_e[1]
+        logger.debug(
+            f"{isweep + 1} sweeps done, lowest energy = {min(macro_iteration_result)}"
+        )
+        if isweep > 0 and percent == 0:
+            v1, v2 = sorted(macro_iteration_result)[:2]
+            if np.allclose(
+                v1, v2,
+                rtol=mps.optimize_config.e_rtol, atol=mps.optimize_config.e_atol,
+            ):
+                logger.info("DMRG has converged!")
+                break
+    else:
+        logger.warning("DMRG did not converge! Please increase the procedure!")
+        logger.info(f"Lowest two energies: {sorted(macro_iteration_result)[:2]}.")
+
+    assert res_mps is not None
+    if mps.optimize_config.nroots == 1:
+        res_mps = res_mps.normalize("mps_only").ensure_left_canonical().canonicalise()
+        res_mps.compress_config = compress_config_bk
+    else:
+        res_mps = [
+            mp.normalize("mps_only").ensure_left_canonical().canonicalise()
+            for mp in res_mps
+        ]
+        for res in res_mps:
+            res.compress_config = compress_config_bk
+    return macro_iteration_result, res_mps
+
+
+def single_sweep(mps, mpo, environ, omega, percent, last_opt_e_idx):
+    """One DMRG micro sweep (reference ``gs.py:174-304``)."""
+    method = mps.optimize_config.method
+    nroots = mps.optimize_config.nroots
+    averaged_ms = []
+    res_mps = None
+    micro_iteration_result = []
+    for imps in mps.iter_idx_list(full=True):
+        if method == "2site" and (
+            (mps.to_right and imps == mps.site_num - 1)
+            or ((not mps.to_right) and imps == 0)
+        ):
+            break
+        if mps.to_right:
+            lmethod, rmethod = "System", "Enviro"
+        else:
+            lmethod, rmethod = "Enviro", "System"
+        if method == "1site":
+            lidx, cidx, ridx = imps - 1, [imps], imps + 1
+        elif mps.to_right:
+            lidx, cidx, ridx = imps - 1, [imps, imps + 1], imps + 2
+        else:
+            lidx, cidx, ridx = imps - 2, [imps - 1, imps], imps + 1
+        logger.debug(f"optimize site: {cidx}")
+
+        operator = mpo if omega is None else [mpo, mpo]
+
+        if isinstance(mpo, StackedMpo):
+            ltensor = [
+                env_i.GetLR("L", lidx, mps, mpo_i, itensor=None, method=lmethod)
+                for env_i, mpo_i in zip(environ, mpo.mpos)
+            ]
+            rtensor = [
+                env_i.GetLR("R", ridx, mps, mpo_i, itensor=None, method=rmethod)
+                for env_i, mpo_i in zip(environ, mpo.mpos)
+            ]
+        else:
+            ltensor = environ.GetLR("L", lidx, mps, operator, itensor=None, method=lmethod)
+            rtensor = environ.GetLR("R", ridx, mps, operator, itensor=None, method=rmethod)
+
+        qnbigl, qnbigr, qnmat = mps._get_big_qn(cidx)
+        qn_mask = get_qn_mask(qnmat, mps.qntot)
+        cshape = qn_mask.shape
+
+        if isinstance(mpo, StackedMpo):
+            cmo = [[mpo_i[idx] for idx in cidx] for mpo_i in mpo.mpos]
+        else:
+            cmo = [mpo[idx] for idx in cidx]
+
+        use_direct = np.prod(cshape) < 1000 or mps.optimize_config.algo == "direct"
+        if use_direct:
+            e, c = eigh_direct(mps, qn_mask, ltensor, rtensor, cmo, omega)
+        else:
+            if nroots == 1:
+                if method == "1site":
+                    raw_guess = mps[cidx[0]]
+                else:
+                    raw_guess = tensordot1(mps[cidx[0]], mps[cidx[1]])
+                cguess = [np.asarray(raw_guess)[qn_mask]]
+            else:
+                cguess = []
+                for ms in averaged_ms:
+                    if method == "1site":
+                        raw_guess = ms
+                    elif mps.to_right:
+                        raw_guess = tensordot1(ms, mps[cidx[1]])
+                    else:
+                        raw_guess = tensordot1(mps[cidx[0]], ms)
+                    cguess.append(np.asarray(raw_guess)[qn_mask])
+            guess_dim = int(np.sum(qn_mask))
+            rng = np.random.default_rng(2021)
+            cguess.extend(
+                [rng.random(guess_dim) - 0.5 for _ in range(len(cguess), nroots)]
+            )
+            e, c = eigh_iterative(mps, qn_mask, ltensor, rtensor, cmo, omega, cguess)
+
+        if nroots > 1:
+            e = list(e)
+        logger.debug(f"energy: {e}")
+        micro_iteration_result.append((e, cidx))
+
+        cstruct = cvec2cmat(c, qn_mask, nroots=nroots)
+        if cidx == last_opt_e_idx:
+            if nroots == 1:
+                res_mps = mps.copy()
+                res_mps._update_mps(cstruct, cidx, qnbigl, qnbigr, percent)
+            else:
+                res_mps = [mps.copy() for _ in range(len(cstruct))]
+                for iroot in range(len(cstruct)):
+                    res_mps[iroot]._update_mps(
+                        cstruct[iroot], cidx, qnbigl, qnbigr, percent
+                    )
+        averaged_ms = mps._update_mps(cstruct, cidx, qnbigl, qnbigr, percent)
+        if mps.compress_config.ofs is not None:
+            mpo.try_swap_site(mps.model, mps.compress_config.ofs_swap_jw)
+
+    mps._switch_direction()
+    return micro_iteration_result, res_mps, mpo
+
+
+def _mask_flat_idx(qn_mask):
+    return jnp.asarray(np.nonzero(qn_mask.ravel())[0])
+
+
+def sign_fix(c, nroots):
+    """Fix the eigenvector gauge (largest element positive)
+    (reference ``gs.py:372-380``)."""
+    if nroots > 1:
+        if isinstance(c, list):
+            return [ci / np.sign(np.asarray(ci)[np.abs(np.asarray(ci)).argmax()]) for ci in c]
+        idx = np.abs(np.asarray(c)).argmax(axis=0)
+        return c / np.sign(np.asarray(c)[idx, range(c.shape[1])])
+    c_np = np.asarray(c)
+    return c / np.sign(c_np[np.abs(c_np).argmax()])
+
+
+def get_ham_direct(mps, qn_mask, ltensor, rtensor, cmo, omega):
+    """Dense masked effective Hamiltonian (reference ``gs.py:307-369``)."""
+    logger.debug("use direct eigensolver")
+    ham = hop_dense(ltensor, rtensor, cmo, twolayer=omega is not None)
+    nsite = len(cmo)
+    # mask both the bra and the ket side
+    idx = _mask_flat_idx(qn_mask)
+    dim = qn_mask.size
+    ham = ham.reshape(dim, dim)
+    return ham[idx][:, idx]
+
+
+def eigh_direct(mps, qn_mask, ltensor, rtensor, cmo, omega):
+    if isinstance(ltensor, list) and not isinstance(cmo[0], (jnp.ndarray, np.ndarray)):
+        ham = sum(
+            get_ham_direct(mps, qn_mask, lt, rt, cm, omega)
+            for lt, rt, cm in zip(ltensor, rtensor, cmo)
+        )
+    else:
+        ham = get_ham_direct(mps, qn_mask, ltensor, rtensor, cmo, omega)
+    inverse = mps.optimize_config.inverse
+    w, v = jnp.linalg.eigh(ham * inverse)
+    w = np.asarray(w)
+    nroots = mps.optimize_config.nroots
+    if nroots == 1:
+        e, c = w[0], v[:, 0]
+    else:
+        e = w[:nroots]
+        c = [v[:, i] for i in range(min(nroots, v.shape[1]))]
+    return e, sign_fix(c, nroots)
+
+
+def get_ham_iterative(mps, qn_mask, ltensor, rtensor, cmo, omega):
+    """Masked hdiag + matvec closure (reference ``gs.py:410-477``)."""
+    inverse = mps.optimize_config.inverse
+    hdiag = hop_diag(ltensor, rtensor, cmo, twolayer=omega is not None)
+    idx = _mask_flat_idx(qn_mask)
+    hdiag = hdiag.ravel()[idx] * inverse
+    expr = hop_expr(ltensor, rtensor, cmo, qn_mask.shape, omega is not None)
+    return hdiag, expr
+
+
+def func_sum(funcs):
+    def new_func(*args, **kwargs):
+        return sum(func(*args, **kwargs) for func in funcs)
+    return new_func
+
+
+def eigh_iterative(mps, qn_mask, ltensor, rtensor, cmo, omega, cguess):
+    """Fused-device Davidson eigensolve in the qn-masked subspace
+    (reference ``gs.py:486-576``)."""
+    inverse = mps.optimize_config.inverse
+    if isinstance(ltensor, list) and not isinstance(cmo[0], (jnp.ndarray, np.ndarray)):
+        hams = [
+            get_ham_iterative(mps, qn_mask, lt, rt, cm, omega)
+            for lt, rt, cm in zip(ltensor, rtensor, cmo)
+        ]
+        hdiag = sum(h for h, _ in hams)
+        expr = func_sum([e for _, e in hams])
+    else:
+        hdiag, expr = get_ham_iterative(mps, qn_mask, ltensor, rtensor, cmo, omega)
+
+    idx = _mask_flat_idx(qn_mask)
+    mask_shape = qn_mask.shape
+    dim = qn_mask.size
+
+    def hop(x):
+        full = jnp.zeros(dim, dtype=x.dtype).at[idx].set(x)
+        out = expr(full.reshape(mask_shape)) * inverse
+        return out.ravel()[idx]
+
+    nroots = mps.optimize_config.nroots
+    algo = mps.optimize_config.algo
+    if algo != "davidson":
+        raise NotImplementedError(
+            f"eigensolver algo={algo} is not available; use 'davidson' or 'direct'"
+        )
+    if nroots == 1:
+        e, c, niter = davidson(hop, jnp.asarray(cguess[0]), hdiag, max_cycle=100)
+        logger.debug(f"use davidson, HC hops: {int(niter)}")
+        return float(np.asarray(e)), sign_fix(c, 1)
+    thetas, X, niter = davidson_multiroot(hop, cguess, hdiag, nroots, max_cycle=100)
+    logger.debug(f"use block davidson, iterations: {int(niter)}")
+    c = [X[i] for i in range(nroots)]
+    return np.asarray(thetas), sign_fix(c, nroots)
+
+
+class DmrgFCISolver:
+    """DMRG interface compatible with PySCF FCI/CASCI drivers
+    (reference ``gs.py:579-746``)."""
+
+    def __init__(self):
+        self.mps: Mps = None
+        self.nsorb: int = None
+        self.bond_dimension: int = 32
+        self.procedure = None
+        self.rdm1_mpos = []
+        self.rdm2_mpos = []
+
+    def kernel(self, h1, h2, norb, nelec, ci0=None, ecore=0, **kwargs):
+        from renormalizer_tpu.model import Model
+        from renormalizer_tpu.model.h_qc import int_to_h, qc_model
+
+        if self.nsorb is None:
+            self.nsorb = norb * 2
+        else:
+            assert norb * 2 == self.nsorb
+
+        try:
+            import pyscf
+
+            h2 = pyscf.ao2mo.restore(1, h2, norb)
+        except ImportError:
+            h2 = np.asarray(h2)
+            assert h2.ndim == 4
+        h1, h2 = int_to_h(h1, h2)
+        basis, ham_terms = qc_model(h1, h2)
+        model = Model(basis, ham_terms)
+        mpo = Mpo(model)
+        logger.info(f"mpo_bond_dims:{mpo.bond_dims}")
+
+        if isinstance(nelec, (int, np.integer)):
+            nelec = [nelec - nelec // 2, nelec // 2]
+        M = self.bond_dimension
+        mps = Mps.random(model, nelec, M, percent=1.0)
+        if self.procedure is None:
+            mps.optimize_config.procedure = [[M, 0.4], [M, 0.2], [M, 0.1]] + [[M, 0]] * 4
+        else:
+            mps.optimize_config.procedure = self.procedure
+        mps.optimize_config.method = "2site"
+        energies, mps = optimize_mps(mps.copy(), mpo)
+        self.mps = mps
+        return min(energies) + ecore, mps
+
+    def _make_rdm1_mpos(self, model, norb):
+        from functools import partial
+        from renormalizer_tpu.model.h_qc import generate_ladder_operator, simplify_op
+
+        assert norb == self.nsorb // 2 and not self.rdm1_mpos
+        a_ops, a_dag_ops = generate_ladder_operator(self.nsorb)
+        process = partial(simplify_op, norbs=self.nsorb, conserve_qn=True)
+        for i in range(norb):
+            for j in range(i + 1):
+                opaa = process(a_dag_ops[2 * i] * a_ops[2 * j])
+                opbb = process(a_dag_ops[2 * i + 1] * a_ops[2 * j + 1])
+                self.rdm1_mpos.append(Mpo(model, terms=[opaa, opbb]))
+
+    def make_rdm1(self, params, norb, nelec):
+        """Spin-traced 1RDM (reference ``gs.py:638-669``)."""
+        mps = self.mps if params is None else params
+        if not self.rdm1_mpos:
+            self._make_rdm1_mpos(self.mps.model, norb)
+        expectations = deque_list(mps.expectations(self.rdm1_mpos))
+        rdm1 = np.zeros([norb] * 2)
+        for i in range(norb):
+            for j in range(i + 1):
+                rdm1[i, j] = rdm1[j, i] = expectations.popleft()
+        return rdm1
+
+    def _make_rdm2_mpos(self, model, norb):
+        from functools import partial
+        from itertools import product
+        from renormalizer_tpu.model.h_qc import generate_ladder_operator, simplify_op
+        from renormalizer_tpu.model.op import Op
+
+        assert norb == self.nsorb // 2 and not self.rdm2_mpos
+        a_ops, a_dag_ops = generate_ladder_operator(self.nsorb)
+        process = partial(simplify_op, norbs=self.nsorb, conserve_qn=True)
+        seen = set()
+        for p, q, r, s in product(range(norb), repeat=4):
+            if (p, q, r, s) in seen:
+                continue
+            ops = [
+                process(Op.product([a_dag_ops[2 * p + sp], a_dag_ops[2 * q + sq],
+                                    a_ops[2 * r + sq], a_ops[2 * s + sp]]))
+                for sp, sq in [(0, 0), (0, 1), (1, 0), (1, 1)]
+            ]
+            self.rdm2_mpos.append(Mpo(model, terms=ops))
+            for idx in [(p, q, r, s), (s, r, q, p), (q, p, s, r), (r, s, p, q)]:
+                seen.add(idx)
+
+    def make_rdm2(self, params, norb, nelec):
+        """Spin-traced 2RDM in PySCF notation (reference ``gs.py:692-736``)."""
+        from itertools import product
+
+        mps = self.mps if params is None else params
+        if not self.rdm2_mpos:
+            self._make_rdm2_mpos(self.mps.model, norb)
+        expectations = deque_list(mps.expectations(self.rdm2_mpos))
+        rdm2 = np.zeros([norb] * 4)
+        seen = set()
+        for p, q, r, s in product(range(norb), repeat=4):
+            if (p, q, r, s) in seen:
+                continue
+            v = expectations.popleft()
+            for idx in [(p, q, r, s), (s, r, q, p), (q, p, s, r), (r, s, p, q)]:
+                seen.add(idx)
+                rdm2[idx] = v
+        return rdm2.transpose(0, 3, 1, 2)
+
+    def make_rdm12(self, params, norb, nelec):
+        return self.make_rdm1(params, norb, nelec), self.make_rdm2(params, norb, nelec)
+
+    def spin_square(self, params, norb, nelec):
+        raise NotImplementedError
+
+
+def deque_list(x):
+    from collections import deque
+
+    return deque(x)

@@ -1,0 +1,1422 @@
+r"""Matrix product states: construction, measurement and time evolution.
+
+Reference: ``renormalizer/mps/mps.py:118-2169``.  All site tensors and
+iterative-solver state live on the TPU; the per-site local propagations run
+through the fused Lanczos ``expm_krylov`` / Davidson of
+``renormalizer_tpu.lib.solvers``.
+
+Evolution schemes (dispatch in :meth:`Mps.evolve`, reference
+``mps.py:644-662``):
+
+* P&C — Taylor propagator with compressed sums, optional adaptive dt;
+* P&C-TDRK4 / P&C-TDRK — Runge-Kutta for time-dependent Hamiltonians;
+* TDVP-PS (1-site) / TDVP-PS2 (2-site) — projector splitting,
+  PhysRevB.94.165116;
+* TDVP-VMF / TDVP-MU-VMF — variable mean field, one global adaptive RK45
+  over all site coefficients with regularized inverses (arXiv:1907.12044);
+* TDVP-MU-CMF — constant mean field with midpoint environments.
+"""
+
+import itertools
+import logging
+from collections import Counter, deque
+from functools import wraps, reduce
+from typing import Dict, List, Union
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.linalg
+
+from renormalizer_tpu.backend import backend
+from renormalizer_tpu.lib.solvers import davidson, expm_krylov, solve_ivp
+from renormalizer_tpu.model import Model, Op, OpSum
+from renormalizer_tpu.model import basis as ba
+from renormalizer_tpu.mps import svd_qn
+from renormalizer_tpu.mps.svd_qn import add_outer, get_qn_mask
+from renormalizer_tpu.mps.lib import Environ, compressed_sum, cvec2cmat, select_basis
+from renormalizer_tpu.mps.mp import MatrixProduct
+from renormalizer_tpu.mps.mpo import Mpo
+from renormalizer_tpu.ops.contract import (
+    contract_one_site,
+    einsum,
+    hop_expr,
+    tensordot1,
+)
+from renormalizer_tpu.utils import (
+    CompressCriteria,
+    EvolveConfig,
+    EvolveMethod,
+    OptimizeConfig,
+)
+from renormalizer_tpu.utils.utils import calc_vn_entropy, calc_vn_entropy_dm
+
+logger = logging.getLogger(__name__)
+
+
+def adaptive_tdvp(fun):
+    """Adaptive-dt wrapper: evolve dt/2 twice vs dt once, step-doubling
+    p-controller (J. Chem. Phys. 146, 174107 (2017); reference
+    ``mps.py:46-115``)."""
+
+    @wraps(fun)
+    def adaptive_fun(self: "Mps", mpo, evolve_target_t):
+        if not self.evolve_config.adaptive:
+            return fun(self, mpo, evolve_target_t)
+        config: EvolveConfig = self.evolve_config.copy()
+        config.check_valid_dt(evolve_target_t)
+
+        p_restart, p_min, p_max = 0.5, 0.1, 2.0
+        cur_mps = self
+        evolved_t = 0
+        while True:
+            dt = min_abs(config.guess_dt, evolve_target_t - evolved_t)
+            logger.debug(f"guess_dt: {config.guess_dt}, try time step size: {dt}")
+            mps_half2 = fun(fun(cur_mps, mpo, dt / 2), mpo, dt / 2)
+            mps_full = fun(cur_mps, mpo, dt)
+            dis = mps_full.distance(mps_half2)
+            p = (0.75 * config.adaptive_rtol / (dis / mps_half2.mp_norm + 1e-30)) ** (1 / 3)
+            logger.debug(f"distance: {dis}, enlarge p parameter: {p}")
+            p = min(max(p, p_min), p_max)
+            if p < p_restart:
+                config.guess_dt = dt * p
+                logger.debug(f"evolution not converged, new guess_dt: {config.guess_dt}")
+                continue
+            evolved_t += dt
+            if np.allclose(evolved_t, evolve_target_t):
+                mps_half2.evolve_config.guess_dt = config.guess_dt
+                return mps_half2
+            config.guess_dt *= p
+            logger.debug(f"sub-step {dt} done, evolved: {evolved_t}")
+            cur_mps = mps_half2
+
+    return adaptive_fun
+
+
+class Mps(MatrixProduct):
+    # --- constructors ------------------------------------------------------
+    @classmethod
+    def random(cls, model: Model, qntot, m_max, percent=1.0) -> "Mps":
+        """Random MPS with conserved quantum number built sector-by-sector
+        (reference ``mps.py:119-185``)."""
+        mps = cls()
+        mps.model = model
+        if isinstance(qntot, int):
+            qntot = np.array([qntot])
+        qntot = np.atleast_1d(np.array(qntot))
+        qn_size = len(qntot)
+        assert qn_size == model.qn_size
+        mps.qn = [np.zeros((1, qn_size), dtype=int)]
+        dim_list = [1]
+        rng = np.random.default_rng(backend.seed)
+
+        for imps in range(model.nsite - 1):
+            qnbig = add_outer(mps.qn[imps], mps._get_sigmaqn(imps)).reshape(-1, qn_size)
+            u_set, s_set, qnset = [], [], []
+            for sector in set(tuple(t) for t in qnbig):
+                if np.all(np.array(qntot) < np.array(sector)):
+                    continue
+                indices = [i for i, x in enumerate(qnbig) if tuple(x) == sector]
+                a = rng.random((len(indices), len(indices))) - 0.5
+                a = a + a.T
+                s, u = scipy.linalg.eigh(a)
+                full = np.zeros((len(qnbig), len(indices)))
+                full[indices, :] = u
+                u_set.append(full)
+                s_set.append(s)
+                qnset += [sector] * len(indices)
+            u_set = np.concatenate(u_set, axis=1)
+            s_set = np.concatenate(s_set)
+            m_max2 = m_max[imps + 1] if isinstance(m_max, (list, tuple, np.ndarray)) else m_max
+            mt, mpsdim, mpsqn, _ = select_basis(
+                u_set, s_set, qnset, u_set, m_max2, percent=percent
+            )
+            dim_list.append(mpsdim)
+            mps.append(np.asarray(mt).reshape(dim_list[imps], -1, dim_list[imps + 1]))
+            mps.qn.append(mpsqn)
+
+        # last site: random, qn-masked, normalized
+        mps.qn.append(np.zeros((1, qn_size), dtype=int))
+        dim_list.append(1)
+        last = rng.random((dim_list[-2], mps.pbond_list[-1], dim_list[-1])) - 0.5
+        qnmat = add_outer(add_outer(mps.qn[-2], model.basis[-1].sigmaqn),
+                          mps.qn[-1])
+        mask = get_qn_mask(qnmat, qntot)
+        last[~mask] = 0
+        last /= np.linalg.norm(last.ravel())
+        mps.append(last)
+
+        mps.qnidx = len(mps) - 1
+        mps.to_right = False
+        mps.qntot = qntot
+        return mps
+
+    @classmethod
+    def hartree_product_state(cls, model: Model, condition: Dict = None, qn_idx: int = None):
+        """Hartree product state with per-DoF local states
+        (reference ``mps.py:187-256``)."""
+        if condition is None:
+            condition = {}
+        mps = cls()
+        mps.model = model
+        mps.build_empty_mp(model.nsite)
+        qn_size = model.qn_size
+        mps.qn = [np.zeros((1, qn_size), dtype=int)]
+
+        site_condition = {}
+        for key, value in condition.items():
+            idx = model.dof_to_siteidx[key]
+            assert idx not in site_condition, "duplicate condition on one site"
+            site_condition[idx] = value
+
+        for isite, local_basis in enumerate(model.basis):
+            pdim = local_basis.nbas
+            ms = np.zeros((1, pdim, 1))
+            local_state = site_condition.pop(isite, 0)
+            if isinstance(local_state, int):
+                ms[0, local_state, 0] = 1.0
+                qn = local_basis.sigmaqn[local_state]
+            else:
+                ms[0, :, 0] = local_state
+                occupied_qn = np.array(local_basis.sigmaqn)[np.nonzero(local_state)]
+                if not np.allclose(occupied_qn.std(axis=0), 0):
+                    raise ValueError("Quantum numbers are mixed in the condition.")
+                qn = occupied_qn[0]
+            mps[isite] = ms
+            mps.qn.append(mps.qn[-1] + qn.reshape(1, qn_size))
+
+        if site_condition:
+            raise ValueError(f"Condition not completely used: {site_condition}")
+        mps.qntot = mps.qn[-1][0]
+        mps.qnidx = model.nsite
+        if qn_idx is None:
+            qn_idx = model.nsite - 1
+        mps.move_qnidx(qn_idx)
+        mps.to_right = False
+        return mps
+
+    @classmethod
+    def ground_state(cls, model: Model, max_entangled: bool, normalize: bool = True,
+                     condition: Dict = None):
+        r"""T=0 or T=inf (max-entangled) product state
+        (reference ``mps.py:258-350``)."""
+        mps = cls()
+        mps.model = model
+        mps.qn = [np.zeros((1, model.qn_size), dtype=int)] * (model.nsite + 1)
+        mps.qnidx = model.nsite - 1
+        mps.to_right = False
+        mps.qntot = np.zeros(model.qn_size, dtype=int)
+        mps.build_empty_mp(model.nsite)
+
+        site_condition = {}
+        if condition is not None:
+            for key, value in condition.items():
+                idx = model.dof_to_siteidx[key]
+                assert idx not in site_condition
+                site_condition[idx] = value
+
+        for isite, local_basis in enumerate(model.basis):
+            pdim = local_basis.nbas
+            ms = np.zeros((1, pdim, 1))
+            if local_basis.is_phonon:
+                if max_entangled:
+                    ms[0, :, 0] = (1.0 / np.sqrt(pdim)) if normalize else 1.0
+                else:
+                    ms[0, 0, 0] = 1.0
+            elif local_basis.is_electron or local_basis.is_spin:
+                if isinstance(local_basis, ba.BasisSimpleElectron):
+                    ms[0, 0, 0] = 1.0
+                elif isinstance(local_basis, ba.BasisMultiElectron):
+                    assert condition is not None
+                    local_state = site_condition.pop(isite)
+                    if isinstance(local_state, int):
+                        ms[0, local_state, 0] = 1.0
+                        qn = local_basis.sigmaqn[local_state]
+                    else:
+                        ms[0, :, 0] = local_state
+                        qn = local_basis.sigmaqn[np.nonzero(local_state)]
+                    assert np.allclose(qn, 0)
+                    if max_entangled and normalize:
+                        ms /= np.linalg.norm(ms)
+                elif isinstance(local_basis, ba.BasisMultiElectronVac):
+                    ms[0, 0, 0] = 1.0
+                elif isinstance(local_basis, ba.BasisHalfSpin):
+                    if max_entangled:
+                        ms[0, :, 0] = (1.0 / np.sqrt(2.0)) if normalize else 1.0
+                    else:
+                        ms[0, 0, 0] = 1.0
+                else:
+                    raise NotImplementedError
+            else:
+                raise NotImplementedError
+            mps[isite] = ms
+        for ms in mps:
+            assert ms is not None
+        return mps
+
+    @classmethod
+    def load(cls, model: Model, fname: str):
+        npload = np.load(fname, allow_pickle=True)
+        mp = cls()
+        mp.model = model
+        nsites = int(npload["nsites"])
+        for i in range(nsites):
+            mt = npload[f"mt_{i}"]
+            mp.dtype = backend.complex_dtype if np.iscomplexobj(mt) else backend.real_dtype
+            mp.append(mt)
+        version = npload["version"]
+        mp.qn = [np.atleast_2d(np.asarray(q)) for q in npload["qn"]]
+        mp.qnidx = int(npload["qnidx"])
+        mp.qntot = np.atleast_1d(npload["qntot"].astype(int))
+        if version == "0.1":
+            mp.to_right = bool(npload["left"])
+            mp.coeff = 1
+        elif version == "0.2":
+            mp.to_right = bool(npload["to_right"])
+            mp.coeff = npload["tdh_wfns"][-1]
+        elif version in ("0.3", "0.4"):
+            mp.to_right = bool(npload["to_right"])
+            mp.coeff = npload["coeff"].item(0)
+        else:
+            raise ValueError(f"Unknown dump version: {version}")
+        return mp
+
+    @classmethod
+    def from_dense(cls, model, wfn: np.ndarray):
+        """Exact (untruncated) MPS from a dense wavefunction, for debugging
+        (reference ``mps.py:388-406``)."""
+        mp = cls()
+        mp.model = model
+        mp.dtype = backend.complex_dtype if np.iscomplexobj(wfn) else backend.real_dtype
+        residual = wfn.reshape([1] + [b.nbas for b in model.basis] + [1])
+        for i in range(len(model.basis) - 1):
+            mat = residual.reshape(residual.shape[0] * residual.shape[1], -1)
+            q, r = np.linalg.qr(mat)
+            mp.append(q.reshape(residual.shape[0], residual.shape[1], q.shape[1]))
+            residual = r.reshape([r.shape[0]] + list(residual.shape[2:]))
+        assert residual.ndim == 3
+        mp.append(residual)
+        mp.build_empty_qn()
+        return mp
+
+    def __init__(self):
+        super().__init__()
+        # scalar prefactor carried outside the tensor network
+        self.coeff: Union[float, complex] = 1
+        self.optimize_config: OptimizeConfig = OptimizeConfig()
+        self.evolve_config: EvolveConfig = EvolveConfig()
+
+    # --- structure -----------------------------------------------------------
+    def conj(self) -> "Mps":
+        new_mps = super().conj()
+        new_mps.coeff = np.conjugate(new_mps.coeff)
+        return new_mps
+
+    def to_complex(self, inplace=False) -> "Mps":
+        new_mp = super().to_complex(inplace=inplace)
+        new_mp.coeff = complex(new_mp.coeff)
+        return new_mp
+
+    def _get_sigmaqn(self, idx):
+        return self.model.basis[idx].sigmaqn
+
+    @property
+    def is_mps(self):
+        return True
+
+    @property
+    def is_mpo(self):
+        return False
+
+    @property
+    def is_mpdm(self):
+        return False
+
+    @property
+    def nexciton(self):
+        return self.qntot
+
+    @property
+    def norm(self):
+        """Norm of the total wavefunction including ``coeff``."""
+        return np.linalg.norm(self.coeff) * self.mp_norm
+
+    def metacopy(self) -> "Mps":
+        new = super().metacopy()
+        new.coeff = self.coeff
+        new.optimize_config = self.optimize_config.copy()
+        new.evolve_config = self.evolve_config.copy()
+        return new
+
+    def add(self, other):
+        if not np.allclose(self.coeff, other.coeff):
+            self.scale(self.coeff, inplace=True)
+            other.scale(other.coeff, inplace=True)
+            self.coeff = 1
+            other.coeff = 1
+        return super().add(other)
+
+    def distance(self, other) -> float:
+        if not np.allclose(self.coeff, other.coeff):
+            self.scale(self.coeff, inplace=True)
+            other.scale(other.coeff, inplace=True)
+            self.coeff = 1
+            other.coeff = 1
+        return super().distance(other)
+
+    def dump(self, fname):
+        super().dump(fname, other_attrs=["coeff"])
+
+    def normalize(self, kind):
+        """kind: "mps_only" | "mps_norm_to_coeff" | "mps_and_coeff"
+        (reference ``mps.py:619-634``)."""
+        return normalize(self, kind)
+
+    def expand_bond_dimension(self, hint_mpo=None, coef=1e-10, include_ex=True):
+        return expand_bond_dimension(self, hint_mpo, coef, include_ex)
+
+    # --- measurement -----------------------------------------------------------
+    def _expectation_path(self):
+        #  S--a--S--e--S
+        #  |     d     |
+        #  O--b--O--g--O
+        #  |     f     |
+        #  S--c--S--h--S
+        return "abc,ade,bdfg,cfh,egh->"
+
+    def _expectation_conj(self):
+        return self.conj()
+
+    def expectation(self, mpo, self_conj: "Mps" = None) -> Union[float, complex]:
+        r"""<self_conj| mpo |self> (reference ``mps.py:471-525``)."""
+        if isinstance(mpo, (Op, OpSum)):
+            mpo = Mpo(self.model, mpo)
+        if self_conj is None:
+            self_conj = self._expectation_conj()
+        environ = Environ(self, mpo, "R", mps_conj=self_conj)
+        l = jnp.ones((1, 1, 1), dtype=backend.real_dtype)
+        r = environ.read("R", 1)
+        val = complex(np.asarray(einsum(
+            self._expectation_path(), l, self[0], mpo[0], self_conj[0], r
+        )))
+        if np.isclose(val.imag, 0):
+            return val.real
+        return val
+
+    def expectations(self, mpos, self_conj: "Mps" = None, opt: bool = True) -> np.ndarray:
+        """Many expectations sharing cached environments
+        (reference ``mps.py:527-575``, cache logic ``mps.py:2103-2169``)."""
+        mpos = [
+            Mpo(self.model, mpo) if isinstance(mpo, (Op, OpSum)) else mpo for mpo in mpos
+        ]
+        if not opt:
+            return np.array([self.expectation(mpo, self_conj) for mpo in mpos])
+
+        # identify shared site tensors across the MPOs by python id
+        # (MPOs produced by `Mpo.identity`-style construction share arrays)
+        hash_to_obj = {}
+        mpos_hash: List[List[int]] = []
+        for mpo in mpos:
+            mpo_hash = []
+            for m in mpo:
+                key = id(m)
+                hash_to_obj[key] = m
+                mpo_hash.append(key)
+            mpos_hash.append(mpo_hash)
+
+        if self_conj is None:
+            self_conj = self._expectation_conj()
+        l_envs = _construct_freq_environ(mpos_hash, hash_to_obj, self, "L", self_conj)
+        r_envs = _construct_freq_environ(mpos_hash, hash_to_obj, self, "R", self_conj)
+        results = []
+        for mpo in mpos:
+            l_env, l_idx = _get_freq_environ(l_envs, mpo, "L", np.inf)
+            r_env, r_idx = _get_freq_environ(r_envs, mpo, "R", len(mpo) - l_idx - 1)
+            for i in range(l_idx + 1, r_idx):
+                l_env = contract_one_site(l_env, self[i], mpo[i], "L", self_conj[i])
+            results.append(complex(np.asarray(
+                jnp.sum(l_env.ravel() * r_env.ravel())
+            )))
+        results = np.array(results)
+        if np.allclose(results.imag, 0):
+            return results.real
+        return results
+
+    @property
+    def ph_occupations(self):
+        """Phonon occupations n for each vibrational DoF
+        (reference ``mps.py:577-593``)."""
+        key = "ph_occupations"
+        if key not in self.model.mpos:
+            self.model.mpos[key] = [
+                Mpo(self.model, Op("n", dof)) for dof in self.model.v_dofs
+            ]
+        return self.expectations(self.model.mpos[key])
+
+    @property
+    def e_occupations(self):
+        r"""Electronic occupations a^dagger a (reference ``mps.py:595-609``)."""
+        key = "e_occupations"
+        if key not in self.model.mpos:
+            self.model.mpos[key] = [
+                Mpo(self.model, Op(r"a^\dagger a", dof)) for dof in self.model.e_dofs
+            ]
+        return self.expectations(self.model.mpos[key])
+
+    def calc_1site_rdm(self, idx=None) -> Dict[int, np.ndarray]:
+        r"""1-site reduced density matrices (reference ``mps.py:1547-1598``)."""
+        identity = Mpo.identity(self.model)
+        environ = Environ(self, identity, "R")
+        if idx is None:
+            idx = list(range(self.site_num))
+        elif isinstance(idx, int):
+            idx = [idx]
+        else:
+            idx = list(idx)
+        rdm = {}
+        ltensor = None
+        for ims, ms in enumerate(self):
+            ltensor = environ.GetLR("L", ims - 1, self, identity, itensor=None, method="System")
+            rtensor = environ.GetLR("R", ims + 1, self, identity, itensor=None, method="Enviro")
+            if ims not in idx:
+                continue
+            lmat = ltensor.reshape(ltensor.shape[0], ltensor.shape[-1])
+            rmat = rtensor.reshape(rtensor.shape[0], rtensor.shape[-1])
+            t = jnp.tensordot(lmat, ms.conj(), axes=([0], [0]))
+            t = jnp.tensordot(t, rmat, axes=([-1], [0]))
+            if ms.ndim == 3:
+                t = jnp.tensordot(t, ms, axes=([0, -1], [0, -1]))
+            else:
+                t = jnp.tensordot(t, ms, axes=([0, -1, -2], [0, -1, -2]))
+            t = np.asarray(t)
+            assert np.allclose(t, t.conj().T, atol=1e-6)
+            rdm[ims] = t
+        return rdm
+
+    def calc_2site_rdm(self) -> Dict:
+        r"""2-site reduced density matrices (reference ``mps.py:1600-1655``)."""
+        identity = Mpo.identity(self.model)
+        environ_R = Environ(self, identity, "R")
+        environ_L = Environ(self, identity, "L")
+        L_comp, R_comp = [], []
+        for ims, ms in enumerate(self):
+            lt = environ_L.GetLR("L", ims - 1, self, identity, method="Enviro")
+            lt = lt.reshape(lt.shape[0], lt.shape[-1])
+            t = jnp.tensordot(lt, ms.conj(), axes=([0], [0]))
+            if ms.ndim == 3:
+                t = jnp.tensordot(t, ms, axes=([0], [0]))
+            else:
+                t = jnp.tensordot(t, ms, axes=([0, 2], [0, 2]))
+            L_comp.append(t.transpose(0, 2, 1, 3))
+            rt = environ_R.GetLR("R", ims + 1, self, identity, method="Enviro")
+            rt = rt.reshape(rt.shape[0], rt.shape[-1])
+            t = jnp.tensordot(ms.conj(), rt, axes=([-1], [0]))
+            if ms.ndim == 3:
+                t = jnp.tensordot(t, ms, axes=([-1], [-1]))
+            else:
+                t = jnp.tensordot(t, ms, axes=([2, -1], [2, -1]))
+            R_comp.append(t.transpose(0, 2, 1, 3))
+
+        rdm = {}
+        for ims in range(self.site_num):
+            tensor = L_comp[ims]
+            for jms in range(ims + 1, self.site_num):
+                if jms != ims + 1:
+                    kms = jms - 1
+                    tensor = jnp.tensordot(tensor, self[kms].conj(), axes=([2], [0]))
+                    if self[kms].ndim == 3:
+                        tensor = jnp.tensordot(tensor, self[kms], axes=([2, 3], [0, 1]))
+                    else:
+                        tensor = jnp.tensordot(tensor, self[kms], axes=([2, 3, 4], [0, 1, 2]))
+                res = jnp.tensordot(tensor, R_comp[jms], axes=([2, 3], [0, 1])).transpose(0, 2, 1, 3)
+                rdm[(ims, jms)] = np.asarray(
+                    res.reshape(res.shape[0] * res.shape[1], -1)
+                )
+        return rdm
+
+    def calc_edof_rdm(self) -> np.ndarray:
+        r"""<a_i^dagger a_j> matrix over electronic DoFs
+        (reference ``mps.py:1657-1687``)."""
+        key = "edof_reduced_density_matrix"
+        n_e = self.model.n_edofs
+        e_dofs = self.model.e_dofs
+        if key not in self.model.mpos:
+            mpos = []
+            for idx, dof1 in enumerate(e_dofs):
+                for dof2 in e_dofs[idx:]:
+                    mpos.append(Mpo(self.model, terms=Op(r"a^\dagger a", [dof1, dof2])))
+            self.model.mpos[key] = mpos
+        expectations = deque(self.expectations(self.model.mpos[key]))
+        rdm = np.zeros((n_e, n_e), dtype=backend.complex_dtype)
+        for i in range(n_e):
+            for j in range(i, n_e):
+                rdm[i, j] = expectations.popleft()
+                rdm[j, i] = np.conj(rdm[i, j])
+        return rdm
+
+    def calc_entropy(self, entropy_type):
+        """1site / 2site / mutual / bond Von Neumann entropy
+        (reference ``mps.py:1689-1732``)."""
+        if entropy_type in ("1site", "2site"):
+            rdm = self.calc_1site_rdm() if entropy_type == "1site" else self.calc_2site_rdm()
+            return {key: calc_vn_entropy_dm(dm) for key, dm in rdm.items()}
+        if entropy_type == "mutual":
+            return self.calc_2site_mutual_entropy()
+        if entropy_type == "bond":
+            return self.calc_bond_entropy()
+        raise ValueError(f"unsupported entropy type {entropy_type}")
+
+    def calc_2site_mutual_entropy(self) -> np.ndarray:
+        """Mutual information m_ij = (s_i + s_j - s_ij) / 2
+        (Chemical Physics 323 (2006) 519; reference ``mps.py:1734-1757``)."""
+        e1 = self.calc_entropy("1site")
+        e2 = self.calc_entropy("2site")
+        n = self.site_num
+        mut = np.zeros((n, n))
+        for i, j in itertools.combinations(range(n), 2):
+            key = (i, j) if (i, j) in e2 else (j, i)
+            mut[i, j] = (e1[i] + e1[j] - e2[key]) / 2
+        return mut + mut.T
+
+    def calc_bond_singular_values(self) -> np.ndarray:
+        mps = self.copy()
+        mps.ensure_right_canonical()
+        _, s_array = mps.compress(temp_m_trunc=np.inf, ret_s=True)
+        return s_array
+
+    def calc_bond_entropy(self, s_array=None) -> np.ndarray:
+        if s_array is None:
+            s_array = self.calc_bond_singular_values()
+        return np.array([calc_vn_entropy(s ** 2) for s in s_array])
+
+    def todense(self) -> np.ndarray:
+        dim = np.prod(self.pbond_list)
+        if 20000 < dim:
+            raise ValueError("wavefunction too large")
+        res = np.ones((1, 1, 1))
+        for mt in self:
+            mt = np.asarray(mt)
+            dim1 = res.shape[1] * mt.shape[1]
+            res = np.tensordot(res, mt, axes=1).reshape(1, dim1, mt.shape[-1])
+        return res[0, :, 0]
+
+    # --- evolution ------------------------------------------------------------
+    def evolve(self, mpo, evolve_dt, normalize=True) -> "Mps":
+        method = {
+            EvolveMethod.prop_and_compress: self._evolve_prop_and_compress,
+            EvolveMethod.prop_and_compress_tdrk4: self._evolve_prop_and_compress_tdrk4,
+            EvolveMethod.prop_and_compress_tdrk: self._evolve_prop_and_compress_tdrk,
+            EvolveMethod.tdvp_mu_vmf: self._evolve_tdvp_mu_vmf,
+            EvolveMethod.tdvp_vmf: self._evolve_tdvp_mu_vmf,
+            EvolveMethod.tdvp_mu_cmf: self._evolve_tdvp_mu_cmf,
+            EvolveMethod.tdvp_ps: self._evolve_tdvp_ps,
+            EvolveMethod.tdvp_ps2: self._evolve_tdvp_ps2,
+        }[self.evolve_config.method]
+        new_mps = method(mpo, evolve_dt)
+        if normalize:
+            if np.iscomplex(evolve_dt):
+                new_mps.normalize("mps_and_coeff")
+            else:
+                new_mps.normalize("mps_only")
+        return new_mps
+
+    def _evolve_prop_and_compress(self, mpo, evolve_dt) -> "Mps":
+        """Taylor propagator with compressed sums
+        (reference ``mps.py:794-885``)."""
+        config = self.evolve_config
+        assert evolve_dt is not None
+        propagation_c = config.taylor_config.coeff
+        order = len(propagation_c) - 1
+        termlist = [self]
+        # don't let the bond dimension grow during the H^n |psi> ladder
+        orig_compress_config = self.compress_config
+        contract_compress_config = self.compress_config.copy()
+        if contract_compress_config.criteria is CompressCriteria.threshold:
+            contract_compress_config.criteria = CompressCriteria.both
+        self.compress_config = contract_compress_config
+        while len(termlist) < len(propagation_c):
+            termlist.append(mpo.contract(termlist[-1]))
+        for t in termlist:
+            t.compress_config = orig_compress_config
+
+        if config.adaptive:
+            config.check_valid_dt(evolve_dt)
+            p_restart, p_min, p_max = 0.5, 0.1, 2.0
+            while True:
+                dt = min_abs(config.guess_dt, evolve_dt)
+                logger.debug(f"guess_dt: {config.guess_dt}, try time step size: {dt}")
+                scaled = [
+                    term.scale((-1.0j * dt) ** idx * propagation_c[idx])
+                    for idx, term in enumerate(termlist)
+                ]
+                new_mps1 = compressed_sum(scaled[:-1])
+                new_mps2 = compressed_sum([new_mps1, scaled[-1]])
+                dis = new_mps1.distance(new_mps2)
+                p = (config.adaptive_rtol / (dis / new_mps2.mp_norm + 1e-30)) ** (1 / order)
+                logger.debug(f"RK45 error distance: {dis}, enlarge p parameter: {p}")
+                if np.allclose(dt, evolve_dt):
+                    if p < p_restart:
+                        config.guess_dt = dt * max(p_min, p)
+                        continue
+                    new_mps2.evolve_config.guess_dt = min_abs(dt * p, config.guess_dt)
+                    return new_mps2
+                if p < p_restart:
+                    config.guess_dt *= max(p_min, p)
+                    continue
+                new_dt = evolve_dt - dt
+                config.guess_dt *= min(p, p_max)
+                new_mps2.evolve_config.guess_dt = config.guess_dt
+                logger.debug(f"sub-step {dt} further, remaining: {new_dt}")
+                return new_mps2._evolve_prop_and_compress(mpo, new_dt)
+
+        for idx, term in enumerate(termlist):
+            term.scale((-1.0j * evolve_dt) ** idx * propagation_c[idx], inplace=True)
+        return compressed_sum(termlist)
+
+    def _evolve_prop_and_compress_tdrk4(self, mpo, evolve_dt) -> "Mps":
+        """Classical RK4 for (possibly) time-dependent H
+        (reference ``mps.py:664-699``)."""
+        mpo_t = _normalize_mpo_t(mpo)
+        k1 = mpo_t(0).contract(self).scale(-1j)
+        tmp = self + k1.scale(0.5 * evolve_dt)
+        tmp.canonicalise().compress()
+        k2 = mpo_t(0.5 * evolve_dt).contract(tmp).scale(-1j)
+        tmp = self + k2.scale(0.5 * evolve_dt)
+        tmp.canonicalise().compress()
+        k3 = mpo_t(0.5 * evolve_dt).contract(tmp).scale(-1j)
+        tmp = self + k3.scale(evolve_dt)
+        tmp.canonicalise().compress()
+        k4 = mpo_t(evolve_dt).contract(tmp).scale(-1j)
+        return compressed_sum(
+            [
+                self,
+                k1.scale(evolve_dt / 6), k2.scale(evolve_dt / 3),
+                k3.scale(evolve_dt / 3), k4.scale(evolve_dt / 6),
+            ]
+        )
+
+    def _evolve_prop_and_compress_tdrk(self, mpo, evolve_dt) -> "Mps":
+        """General explicit RK with Butcher tableau, adaptive or fixed dt
+        (reference ``mps.py:701-792``)."""
+        mpo_t = _normalize_mpo_t(mpo)
+        rk = self.evolve_config.rk_config
+        a, b, c = rk.tableau
+
+        def sub_step(y, tau, t0):
+            k_list = []
+            for istage in range(rk.stage):
+                k = compressed_sum(
+                    [y] + [
+                        k_list[i].scale(a[istage, i] * tau)
+                        for i in range(istage) if a[istage, i] != 0
+                    ],
+                    batchsize=6,
+                )
+                k = mpo_t(c[istage] * tau + t0, mps=k).contract(k).scale(-1j)
+                k_list.append(k)
+            new_mps = compressed_sum(
+                [y] + [
+                    k_list[i].scale(b[0, i] * tau)
+                    for i in range(rk.stage) if b[0, i] != 0
+                ],
+                batchsize=6,
+            )
+            if self.evolve_config.adaptive:
+                assert len(rk.order) == 2 and rk.order[0] - rk.order[1] == 1
+                err_mps = reduce(
+                    lambda m1, m2: m1.add(m2),
+                    [
+                        k_list[i].scale((b[0, i] - b[1, i]) * tau)
+                        for i in range(rk.stage)
+                        if not np.allclose(b[0, i], b[1, i])
+                    ],
+                )
+                error = err_mps.norm / new_mps.norm
+            else:
+                assert len(rk.order) == 1
+                error = 0
+            return new_mps, error
+
+        self.evolve_config.check_valid_dt(evolve_dt)
+        if not self.evolve_config.adaptive:
+            new_mps, _ = sub_step(self, evolve_dt, 0)
+            return new_mps
+
+        p_restart, p_min, p_max = 0.5, 0.1, 2.0
+        evolved = 0
+        new_mps = self
+        while True:
+            dt = min_abs(new_mps.evolve_config.guess_dt, evolve_dt - evolved)
+            new_mps2, error = sub_step(new_mps, dt, evolved)
+            p = (new_mps.evolve_config.adaptive_rtol / (error + 1e-30)) ** (1 / rk.order[0])
+            logger.debug(f"RK {rk.method} error: {error}, p: {p}")
+            if p < p_restart:
+                new_mps.evolve_config.guess_dt = dt * max(p_min, p)
+                continue
+            new_mps = new_mps2
+            if np.allclose(dt + evolved, evolve_dt):
+                new_mps.evolve_config.guess_dt = min_abs(
+                    dt * p, new_mps.evolve_config.guess_dt
+                )
+                return new_mps
+            new_mps.evolve_config.guess_dt = new_mps.evolve_config.guess_dt * min(p, p_max)
+            evolved += dt
+
+    @adaptive_tdvp
+    def _evolve_tdvp_ps(self, mpo, evolve_dt) -> "Mps":
+        """One-site TDVP with projector splitting (PhysRevB.94.165116;
+        reference ``mps.py:1267-1404``).  Local propagations run the fused
+        device Lanczos."""
+        if np.iscomplex(evolve_dt):
+            mps = self.copy()
+        else:
+            mps = self.to_complex()
+        environ = Environ(mps, mpo)
+        local_steps = []
+        for _ in range(2):
+            for imps in mps.iter_idx_list(full=True):
+                system = "L" if mps.to_right else "R"
+                l_array = environ.read("L", imps - 1)
+                r_array = environ.read("R", imps + 1)
+                shape = list(mps[imps].shape)
+                hop = hop_expr(l_array, r_array, [mpo[imps]], shape)
+                mps_t, j = expm_krylov(
+                    lambda y: hop(y.reshape(shape)).ravel(),
+                    -1j * evolve_dt / 2,
+                    mps[imps].ravel(),
+                )
+                local_steps.append(int(j))
+                mps_t = mps_t.reshape(shape)
+
+                qnbigl, qnbigr, _ = mps._get_big_qn([imps])
+                u, qnlset, v, qnrset = svd_qn.svd_qn(
+                    mps_t, qnbigl, qnbigr, mps.qntot,
+                    QR=True, system=system, full_matrices=False,
+                )
+                vt = v.T
+                if not mps.to_right and imps != 0:
+                    mps[imps] = vt.reshape([-1] + shape[1:])
+                    mps.qn[imps] = np.array(qnrset)
+                    mps.qnidx = imps - 1
+                    r_array = environ.GetLR("R", imps, mps, mpo, itensor=r_array, method="System")
+                    # backward evolution of the bond tensor
+                    hop_u = hop_expr(l_array, r_array, [], u.shape)
+                    mps_t, j = expm_krylov(
+                        lambda y: hop_u(y.reshape(u.shape)).ravel(),
+                        1j * evolve_dt / 2, u.ravel(),
+                    )
+                    local_steps.append(int(j))
+                    mps[imps - 1] = tensordot1(mps[imps - 1], mps_t.reshape(u.shape))
+                elif mps.to_right and imps != len(mps) - 1:
+                    mps[imps] = u.reshape(shape[:-1] + [-1])
+                    mps.qn[imps + 1] = np.array(qnlset)
+                    mps.qnidx = imps + 1
+                    l_array = environ.GetLR("L", imps, mps, mpo, itensor=l_array, method="System")
+                    hop_svt = hop_expr(l_array, r_array, [], vt.shape)
+                    mps_t, j = expm_krylov(
+                        lambda y: hop_svt(y.reshape(vt.shape)).ravel(),
+                        1j * evolve_dt / 2, vt.ravel(),
+                    )
+                    local_steps.append(int(j))
+                    mps[imps + 1] = tensordot1(mps_t.reshape(vt.shape), mps[imps + 1])
+                else:
+                    mps[imps] = mps_t
+            mps._switch_direction()
+        logger.debug(f"TDVP-PS Krylov space: max {max(local_steps)}")
+        return mps
+
+    @adaptive_tdvp
+    def _evolve_tdvp_ps2(self, mpo, evolve_dt) -> "Mps":
+        """Two-site TDVP projector splitting with bond-adaptive truncation
+        (reference ``mps.py:1406-1517``)."""
+        if np.iscomplex(evolve_dt):
+            mps = self.copy()
+        else:
+            mps = self.to_complex()
+        environ = Environ(mps, mpo)
+        local_steps = []
+        for _ in range(2):
+            for imps in mps.iter_idx_list(full=False):
+                if mps.to_right:
+                    lidx, cidx0, cidx1, ridx = imps - 1, imps, imps + 1, imps + 2
+                    cidx2 = cidx1
+                    last_idx = len(mps) - 2
+                else:
+                    lidx, cidx0, cidx1, ridx = imps - 2, imps - 1, imps, imps + 1
+                    cidx2 = cidx0
+                    last_idx = 1
+                l_array = environ.read("L", lidx)
+                r_array = environ.read("R", ridx)
+                ms2 = tensordot1(mps[cidx0], mps[cidx1])
+                hop = hop_expr(l_array, r_array, [mpo[cidx0], mpo[cidx1]], ms2.shape)
+                mps_t, j = expm_krylov(
+                    lambda y: hop(y.reshape(ms2.shape)).ravel(),
+                    -1j * evolve_dt / 2, ms2.ravel(),
+                )
+                local_steps.append(int(j))
+                mps_t = mps_t.reshape(ms2.shape)
+                qnbigl, qnbigr, _ = mps._get_big_qn([cidx0, cidx1])
+                mps._update_mps(mps_t, [cidx0, cidx1], qnbigl, qnbigr)
+                if mps.compress_config.ofs is not None:
+                    mpo.try_swap_site(mps.model, mps.compress_config.ofs_swap_jw)
+                if imps == last_idx:
+                    continue
+                if mps.to_right:
+                    l_array = environ.GetLR("L", lidx + 1, mps, mpo, itensor=l_array, method="System")
+                else:
+                    r_array = environ.GetLR("R", ridx - 1, mps, mpo, itensor=r_array, method="System")
+                ms1 = mps[cidx2]
+                hop1 = hop_expr(l_array, r_array, [mpo[cidx2]], ms1.shape)
+                mps_t, j = expm_krylov(
+                    lambda y: hop1(y.reshape(ms1.shape)).ravel(),
+                    1j * evolve_dt / 2, ms1.ravel(),
+                )
+                local_steps.append(int(j))
+                mps[cidx2] = mps_t.reshape(ms1.shape)
+                mps._push_cano(cidx2)
+            mps._switch_direction()
+        logger.debug(f"TDVP-PS2 Krylov space: max {max(local_steps)}")
+        return mps
+
+    def _evolve_tdvp_mu_vmf(self, mpo, evolve_dt) -> "Mps":
+        """TDVP variable mean field: one global adaptive RK45 over all masked
+        site coefficients with per-site projectors and regularized inverses
+        (arXiv:1907.12044; reference ``mps.py:887-1094``)."""
+        mpo_t = _normalize_mpo_t(mpo)
+        imag_time = np.iscomplex(evolve_dt)
+        if imag_time:
+            evolve_dt = -evolve_dt.imag
+            coef = -1
+        else:
+            coef = 1j
+
+        if not (self.evolve_config.force_ovlp and not self.to_right):
+            self.ensure_left_canonical()
+        mps = self.copy() if imag_time else self.to_complex()
+
+        # static qn masks per site
+        qn_mask_list = []
+        position = [0]
+        for imps in range(mps.site_num):
+            mps.move_qnidx(imps)
+            _, _, qnmat = mps._get_big_qn([imps])
+            qn_mask = get_qn_mask(qnmat, mps.qntot)
+            qn_mask_list.append(qn_mask)
+            position.append(position[-1] + int(np.sum(qn_mask)))
+        mask_idx_list = [
+            jnp.asarray(np.nonzero(m.ravel())[0]) for m in qn_mask_list
+        ]
+
+        sw_min_list = []
+
+        def func_vmf(t, y):
+            sw_min_list.clear()
+            for imps in range(mps.site_num):
+                mps[imps] = cvec2cmat(y[position[imps]:position[imps + 1]], qn_mask_list[imps])
+            mpo_now = mpo_t(t, mps=mps)
+
+            if self.evolve_config.method == EvolveMethod.tdvp_mu_vmf:
+                environ_mps = mps.copy()
+            else:
+                environ_mps = mps
+                S_R = jnp.ones((1, 1), dtype=mps[0].dtype)
+            environ = Environ(environ_mps, mpo_now, "L")
+
+            if self.evolve_config.force_ovlp:
+                S_L_list = [jnp.ones((1, 1), dtype=mps[0].dtype)]
+                for imps in range(mps.site_num):
+                    S_L_list.append(transferMat(mps, None, "L", imps, S_L_list[imps]))
+                S_L_inv_list = []
+                for imps in range(mps.site_num + 1):
+                    w, u = jnp.linalg.eigh(S_L_list[imps])
+                    S_L_inv_list.append((u * (1.0 / w)[None, :]) @ u.conj().T)
+            else:
+                S_L_list = [None] * (mps.site_num + 1)
+                S_L_inv_list = [None] * (mps.site_num + 1)
+
+            hop_y = jnp.empty_like(y)
+            for imps in mps.iter_idx_list(full=True):
+                shape = list(mps[imps].shape)
+                ltensor = environ.read("L", imps - 1)
+                if imps == self.site_num - 1:
+                    # coefficient site: no projector needed
+                    rtensor = jnp.ones((1, 1, 1), dtype=mps[0].dtype)
+                    hop = hop_expr(ltensor, rtensor, [mpo_now[imps]], shape)
+                    S_inv = jnp.eye(1, dtype=mps[0].dtype)
+                    func = integrand_func_factory(
+                        shape, hop, True, S_inv, True, coef,
+                        ovlp_inv1=S_L_inv_list[imps + 1],
+                        ovlp_inv0=S_L_inv_list[imps], ovlp0=S_L_list[imps],
+                    )
+                    out = func(0, mps[imps].ravel()).reshape(shape)
+                    hop_y = hop_y.at[position[imps]:position[imps + 1]].set(
+                        out.ravel()[mask_idx_list[imps]]
+                    )
+                    continue
+
+                if self.evolve_config.method == EvolveMethod.tdvp_mu_vmf:
+                    qnbigl, qnbigr, _ = environ_mps._get_big_qn([imps + 1])
+                    u, s, qnlset, v, _, qnrset = svd_qn.svd_qn(
+                        environ_mps[imps + 1], qnbigl, qnbigr,
+                        environ_mps.qntot, system="R", full_matrices=False,
+                    )
+                    vt = v.T
+                    environ_mps[imps + 1] = vt.reshape(environ_mps[imps + 1].shape)
+                    rtensor = environ.GetLR("R", imps + 1, environ_mps, mpo_now, method="System")
+                    sw_min_list.append(float(np.min(s)))
+                    regular_s = _mu_regularize(s, epsilon=self.evolve_config.reg_epsilon)
+                    us = u * jnp.asarray(s)[None, :].astype(u.dtype)
+                    rtensor = jnp.tensordot(rtensor, us, axes=(-1, -1))
+                    environ_mps[imps] = jnp.tensordot(environ_mps[imps], us, axes=(-1, 0))
+                    environ_mps.qn[imps + 1] = np.array(qnrset)
+                    environ_mps.qnidx = imps
+                    S_inv = (u.conj() * jnp.asarray(1.0 / regular_s)[None, :].astype(u.dtype)).T
+                else:  # tdvp_vmf
+                    rtensor = environ.GetLR("R", imps + 1, environ_mps, mpo_now, method="System")
+                    S_R = transferMat(environ_mps, None, "R", imps + 1, S_R)
+                    w, u = jnp.linalg.eigh(S_R)
+                    w = jnp.where(w > 0, w, 0)
+                    sw_min_list.append(float(np.min(np.asarray(w))))
+                    epsilon = self.evolve_config.reg_epsilon
+                    w = w + epsilon * jnp.exp(-w / epsilon)
+                    S_inv = ((u * (1.0 / w)[None, :]) @ u.conj().T).T
+
+                hop = hop_expr(ltensor, rtensor, [mpo_now[imps]], shape)
+                func = integrand_func_factory(
+                    shape, hop, False, S_inv, True, coef,
+                    ovlp_inv1=S_L_inv_list[imps + 1],
+                    ovlp_inv0=S_L_inv_list[imps], ovlp0=S_L_list[imps],
+                )
+                out = func(0, mps[imps].ravel()).reshape(shape)
+                hop_y = hop_y.at[position[imps]:position[imps + 1]].set(
+                    out.ravel()[mask_idx_list[imps]]
+                )
+            return hop_y
+
+        init_y = jnp.concatenate(
+            [mps[i].ravel()[mask_idx_list[i]] for i in range(mps.site_num)]
+        )
+        sol = solve_ivp(
+            func_vmf, (0, evolve_dt), init_y,
+            rtol=self.evolve_config.ivp_rtol, atol=self.evolve_config.ivp_atol,
+        )
+        for imps in range(mps.site_num):
+            mps[imps] = cvec2cmat(
+                sol.y[position[imps]:position[imps + 1]], qn_mask_list[imps]
+            )
+        logger.info(
+            f"{self.evolve_config.method} VMF func called: {sol.nfev}. "
+            f"RKF steps: {sol.nsteps}"
+        )
+
+        if self.evolve_config.vmf_auto_switch and sw_min_list:
+            sw_min = min(sw_min_list)
+            if (
+                sw_min > np.sqrt(self.evolve_config.reg_epsilon * 10.0)
+                and mps.evolve_config.method == EvolveMethod.tdvp_mu_vmf
+            ):
+                logger.debug(f"sw.min={sw_min}, switch to tdvp_vmf")
+                mps.evolve_config.method = EvolveMethod.tdvp_vmf
+            elif (
+                sw_min < self.evolve_config.reg_epsilon
+                and mps.evolve_config.method == EvolveMethod.tdvp_vmf
+            ):
+                logger.debug(f"sw.min={sw_min}, switch to tdvp_mu_vmf")
+                mps.evolve_config.method = EvolveMethod.tdvp_mu_vmf
+        return mps.canonicalise()
+
+    @adaptive_tdvp
+    def _evolve_tdvp_mu_cmf(self, mpo, evolve_dt) -> "Mps":
+        """TDVP constant mean field with matrix-unfolding regularization;
+        2nd-order via midpoint environments (reference ``mps.py:1096-1265``)."""
+        if self.evolve_config.tdvp_cmf_c_trapz:
+            assert self.evolve_config.tdvp_cmf_midpoint
+        imag_time = np.iscomplex(evolve_dt)
+        if imag_time:
+            evolve_dt = -evolve_dt.imag
+            coef = -1
+        else:
+            coef = 1j
+
+        self.ensure_left_canonical()
+        mps = self.copy() if imag_time else self.to_complex()
+
+        if self.evolve_config.tdvp_cmf_midpoint:
+            orig_config = self.evolve_config.copy()
+            self.evolve_config.tdvp_cmf_midpoint = False
+            self.evolve_config.tdvp_cmf_c_trapz = False
+            self.evolve_config.adaptive = False
+            environ_mps = self.evolve(mpo, evolve_dt / 2)
+            self.evolve_config = orig_config
+        else:
+            environ_mps = mps.copy()
+
+        if self.evolve_config.tdvp_cmf_c_trapz:
+            loop = 2
+            mps[-1] = environ_mps[-1]
+        else:
+            loop = 1
+
+        while loop > 0:
+            environ = Environ(environ_mps, mpo, "L")
+            cmf_rk_steps = []
+            if self.evolve_config.force_ovlp:
+                S_L_list = [jnp.ones((1, 1), dtype=mps[0].dtype)]
+                for imps in range(mps.site_num):
+                    S_L_list.append(transferMat(environ_mps, None, "L", imps, S_L_list[imps]))
+                S_L_inv_list = []
+                for imps in range(mps.site_num + 1):
+                    w, u = jnp.linalg.eigh(S_L_list[imps])
+                    S_L_inv_list.append((u * (1.0 / w)[None, :]) @ u.conj().T)
+            else:
+                S_L_list = [None] * (mps.site_num + 1)
+                S_L_inv_list = [None] * (mps.site_num + 1)
+
+            for imps in mps.iter_idx_list(full=True):
+                shape = list(mps[imps].shape)
+                ltensor = environ.read("L", imps - 1)
+                if imps == self.site_num - 1:
+                    if loop == 1:
+                        rtensor = jnp.ones((1, 1, 1), dtype=mps[0].dtype)
+                        hop = hop_expr(ltensor, rtensor, [mpo[imps]], shape)
+                        S_inv = jnp.eye(1, dtype=mps[0].dtype)
+                        func = integrand_func_factory(
+                            shape, hop, True, S_inv, True, coef,
+                            ovlp_inv1=S_L_inv_list[imps + 1],
+                            ovlp_inv0=S_L_inv_list[imps], ovlp0=S_L_list[imps],
+                        )
+                        if self.evolve_config.ivp_solver == "krylov":
+                            # func = (hermitian action) / coef; fold coef into
+                            # dt so the Lanczos operator stays hermitian
+                            ms, j = expm_krylov(
+                                lambda y: coef * func(0, y),
+                                evolve_dt / coef, mps[imps].ravel(),
+                            )
+                            cmf_rk_steps.append(int(j))
+                        else:
+                            sol = solve_ivp(
+                                func, (0, evolve_dt), mps[imps].ravel(),
+                                rtol=self.evolve_config.ivp_rtol,
+                                atol=self.evolve_config.ivp_atol,
+                            )
+                            ms = sol.y
+                            cmf_rk_steps.append(sol.nfev)
+                        mps[imps] = ms.reshape(shape)
+                    if loop == 1 and self.evolve_config.tdvp_cmf_c_trapz:
+                        break
+                    continue
+
+                qnbigl, qnbigr, _ = environ_mps._get_big_qn([imps + 1])
+                u, s, qnlset, v, _, qnrset = svd_qn.svd_qn(
+                    environ_mps[imps + 1], qnbigl, qnbigr,
+                    environ_mps.qntot, system="R", full_matrices=False,
+                )
+                vt = v.T
+                environ_mps[imps + 1] = vt.reshape(environ_mps[imps + 1].shape)
+                rtensor = environ.GetLR("R", imps + 1, environ_mps, mpo, method="System")
+                regular_s = _mu_regularize(s, epsilon=self.evolve_config.reg_epsilon)
+                us = u * jnp.asarray(s)[None, :].astype(u.dtype)
+                rtensor = jnp.tensordot(rtensor, us, axes=(-1, -1))
+                environ_mps[imps] = jnp.tensordot(environ_mps[imps], us, axes=(-1, 0))
+                environ_mps.qn[imps + 1] = np.array(qnrset)
+                environ_mps.qnidx = imps
+                S_inv = (u.conj() * jnp.asarray(1.0 / regular_s)[None, :].astype(u.dtype)).T
+
+                hop = hop_expr(ltensor, rtensor, [mpo[imps]], shape)
+                func = integrand_func_factory(
+                    shape, hop, False, S_inv, True, coef,
+                    ovlp_inv1=S_L_inv_list[imps + 1],
+                    ovlp_inv0=S_L_inv_list[imps], ovlp0=S_L_list[imps],
+                )
+                sol = solve_ivp(func, (0, evolve_dt), mps[imps].ravel())
+                cmf_rk_steps.append(sol.nsteps)
+                mps[imps] = sol.y.reshape(shape)
+
+            if cmf_rk_steps:
+                logger.debug(
+                    f"{self.evolve_config.method} CMF steps: max {max(cmf_rk_steps)}"
+                )
+            if loop == 2:
+                environ_mps = mps
+                evolve_dt /= 2.0
+            loop -= 1
+        return mps
+
+    def evolve_exact(self, h_mpo, evolve_dt, space):
+        """Exact local propagation within GS/EX space
+        (reference ``mps.py:1519-1523``)."""
+        MPOprop = Mpo.exact_propagator(self.model, -1j * evolve_dt, space, -h_mpo.offset)
+        new_mps = MPOprop.apply(self, canonicalise=True)
+        new_mps.coeff = self.coeff * np.exp(-1j * h_mpo.offset * evolve_dt)
+        return new_mps
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _normalize_mpo_t(mpo):
+    """Uniform interface for time-dependent Hamiltonians."""
+    if isinstance(mpo, Mpo):
+        return lambda t, *args, **kwargs: mpo
+    if callable(mpo):
+        return mpo
+    raise TypeError(f"unsupported mpo type: {mpo}")
+
+
+def projector(ms, left: bool, Ovlp_inv1=None, Ovlp0=None):
+    """Tangent-space projector 1 - |ms><ms| with optional non-orthogonal
+    metric (reference ``mps.py:1819-1846``)."""
+    axes = (-1, -1) if left else (0, 0)
+    if Ovlp_inv1 is None:
+        proj = jnp.tensordot(ms, ms.conj(), axes=axes)
+    else:
+        if left:
+            proj = jnp.tensordot(Ovlp0, ms, axes=(-1, 0))
+            proj = jnp.tensordot(proj, Ovlp_inv1, axes=(-1, 0))
+            proj = jnp.tensordot(proj, ms.conj(), axes=(-1, -1))
+        else:
+            proj = jnp.tensordot(ms, Ovlp0, axes=(-1, 0))
+            proj = jnp.tensordot(Ovlp_inv1, proj, axes=(-1, 0))
+            proj = jnp.tensordot(proj, ms.conj(), axes=(0, 0))
+    sz = int(np.prod(ms.shape[:-1])) if left else int(np.prod(ms.shape[1:]))
+    eye = jnp.eye(sz, dtype=proj.dtype).reshape(proj.shape)
+    return eye - proj
+
+
+def integrand_func_factory(
+    shape, hop, islast, S_inv, left: bool, coef,
+    ovlp_inv1=None, ovlp_inv0=None, ovlp0=None,
+):
+    """EOM right-hand side for one site in VMF/CMF evolution
+    (reference ``mps.py:1849-1889``)."""
+    S_inv = jnp.asarray(S_inv)
+
+    def func(t, y):
+        y0 = jnp.asarray(y).reshape(shape)
+        HC = hop(y0)
+        if not islast:
+            proj = projector(y0, left, ovlp_inv1, ovlp0)
+            if y0.ndim == 3:
+                if left:
+                    HC = jnp.tensordot(proj, HC, axes=([2, 3], [0, 1]))
+                else:
+                    HC = jnp.tensordot(HC, proj, axes=([1, 2], [2, 3]))
+            elif y0.ndim == 4:
+                if left:
+                    HC = jnp.tensordot(proj, HC, axes=([3, 4, 5], [0, 1, 2]))
+                else:
+                    HC = jnp.tensordot(HC, proj, axes=([1, 2, 3], [3, 4, 5]))
+        if left:
+            if ovlp_inv0 is not None:
+                HC = jnp.tensordot(ovlp_inv0, HC, axes=(-1, 0))
+            return jnp.tensordot(HC, S_inv.astype(HC.dtype), axes=(-1, 0)).ravel() / coef
+        if ovlp_inv0 is not None:
+            HC = jnp.tensordot(HC, ovlp_inv0, axes=(-1, -1))
+        return jnp.tensordot(S_inv.astype(HC.dtype), HC, axes=(0, 0)).ravel() / coef
+
+    return func
+
+
+def transferMat(mps, mpsconj, domain, imps, val):
+    """One-site transfer-matrix update (reference ``mps.py:1892-1923``)."""
+    ms = mps[imps]
+    ms_conj = mpsconj[imps] if mpsconj is not None else ms.conj()
+    val = jnp.asarray(val)
+    if ms.ndim == 3:
+        if domain == "R":
+            val = jnp.tensordot(ms_conj, val, axes=(2, 0))
+            val = jnp.tensordot(val, ms, axes=([1, 2], [1, 2]))
+        elif domain == "L":
+            val = jnp.tensordot(ms_conj, val, axes=(0, 0))
+            val = jnp.tensordot(val, ms, axes=([0, 2], [1, 0]))
+        else:
+            raise AssertionError
+    elif ms.ndim == 4:
+        if domain == "R":
+            val = jnp.tensordot(ms_conj, val, axes=(3, 0))
+            val = jnp.tensordot(val, ms, axes=([1, 2, 3], [1, 2, 3]))
+        elif domain == "L":
+            val = jnp.tensordot(ms_conj, val, axes=(0, 0))
+            val = jnp.tensordot(val, ms, axes=([0, 3, 1], [1, 0, 2]))
+        else:
+            raise AssertionError
+    else:
+        raise ValueError(f"local mps ndim incorrect: {ms.ndim}")
+    return val
+
+
+def _mu_regularize(s, epsilon=1e-10):
+    """Regularize singular values of the reduced density matrix
+    (reference ``mps.py:1926-1931``)."""
+    epsilon = np.sqrt(epsilon)
+    s = np.asarray(s)
+    return s + epsilon * np.exp(-s / epsilon)
+
+
+def normalize(tn, kind):
+    """Shared normalization for MPS and TTNS (reference ``mps.py:2025-2059``)."""
+    if hasattr(tn, "mp_norm"):
+        tn_norm = tn.mp_norm
+    elif hasattr(tn, "ttns_norm"):
+        tn_norm = tn.ttns_norm
+    else:
+        raise ValueError(f"{type(tn)} does not have norm attribute")
+    if kind in ("mps_only", "ttns_only"):
+        new_coeff = tn.coeff
+    elif kind in ("mps_and_coeff", "ttns_and_coeff"):
+        new_coeff = tn.coeff / np.linalg.norm(tn.coeff)
+    elif kind in ("mps_norm_to_coeff", "ttns_norm_to_coeff"):
+        new_coeff = tn.coeff * tn_norm
+    else:
+        raise ValueError(f"kind={kind} is not valid.")
+    tn.scale(1.0 / tn_norm, inplace=True)
+    tn.coeff = new_coeff
+    return tn
+
+
+def expand_bond_dimension(mps, hint_mpo=None, coef=1e-10, include_ex=True):
+    """Expand bond dimension up to the compress config, optionally guided by
+    powers of a hint MPO (reference ``mps.py:1934-1960``)."""
+    if hint_mpo is not None and include_ex:
+        logger.debug(f"average bond dimension of hint mpo: {hint_mpo.bond_dims_mean}")
+        if mps.is_mps:
+            ex_state = mps.ground_state(mps.model, False)
+            assert mps.model.qn_size == 1
+            for _ in range(int(mps.qntot[0])):
+                ex_state = Mpo.onsite(mps.model, r"a^\dagger") @ ex_state
+        elif mps.is_mpdm:
+            assert mps.qntot == 1
+            ex_state = mps.max_entangled_ex(mps.model)
+        else:
+            raise AssertionError
+        ex_state.compress_config = mps.compress_config
+        ex_state.move_qnidx(mps.qnidx)
+        ex_state.to_right = mps.to_right
+    else:
+        ex_state = None
+    return expand_bond_dimension_general(mps, hint_mpo, coef, ex_state)
+
+
+def expand_bond_dimension_general(mps, hint_mpo=None, coef=1e-10, ex_mps=None):
+    """Bond-dimension expander shared between MPS and TTNS
+    (reference ``mps.py:1963-2023``)."""
+    if hasattr(mps, "model"):
+        random_first_arg = mps.model
+    else:
+        random_first_arg = mps.basis
+    mps.compress_config.set_bonddim(len(mps.bond_dims))
+    m_target = np.minimum(
+        np.array(mps.compress_config.max_dims) - np.array(mps.bond_dims),
+        mps.bond_dims_exact,
+    ).astype(int)
+    logger.debug(f"target for expander: {m_target.tolist()}")
+
+    if hint_mpo is None:
+        expander = mps.__class__.random(random_first_arg, mps.qntot, m_target)
+    else:
+        lastone = mps if ex_mps is None else mps + ex_mps
+        expander_list = []
+        expander_dims = np.zeros_like(m_target)
+        while True:
+            lastone = (hint_mpo @ lastone).normalize("mps_and_coeff")
+            lastone = lastone.canonicalise().compress(int(np.max(m_target)))
+            expander_list.append(lastone)
+            expander = compressed_sum(expander_list, temp_m_trunc=m_target)
+            logger.debug(f"expander bond dimension: {expander.bond_dims}")
+            if np.all(np.array(expander.bond_dims) >= m_target):
+                break
+            if np.all(np.array(expander.bond_dims) == expander_dims):
+                logger.warning("Expander does not increase anymore.")
+                m2 = int(np.max(m_target - expander_dims))
+                expander2 = (hint_mpo @ lastone).canonicalise().compress(max(m2, 1))
+                expander = expander + expander2
+                break
+            expander_dims = np.array(expander.bond_dims)
+            trunc = int(np.max(m_target) / np.max(hint_mpo.bond_dims)) + 1
+            lastone = lastone.canonicalise().compress(trunc)
+    return (
+        (mps + expander.scale(coef * mps.norm, inplace=True))
+        .canonicalise()
+        .compress(mps.compress_config.max_dims)
+        .normalize("mps_norm_to_coeff")
+    )
+
+
+class BraKetPair:
+    """A bra/ket pair with cached transition amplitude
+    (reference ``mps.py:2061-2088``)."""
+
+    def __init__(self, bra_mps, ket_mps, mpo=None):
+        self.bra_mps = bra_mps
+        self.ket_mps = ket_mps
+        self.mpo = mpo
+        self.ft = self.calc_ft()
+
+    def calc_ft(self):
+        if self.mpo is None:
+            dot = self.bra_mps.conj().dot(self.ket_mps)
+        else:
+            dot = self.ket_mps.expectation(self.mpo, self.bra_mps.conj())
+        return complex(dot * np.conjugate(self.bra_mps.coeff) * self.ket_mps.coeff)
+
+    def __str__(self):
+        if np.iscomplexobj(self.ft):
+            sign = "+" if 0 <= self.ft.imag else ""
+            ft_str = "%g%s%gj" % (self.ft.real, sign, self.ft.imag)
+        else:
+            ft_str = "%g" % self.ft
+        return "bra: %s, ket: %s, ft: %s" % (self.bra_mps, self.ket_mps, ft_str)
+
+    def __iter__(self):
+        return iter((self.bra_mps, self.ket_mps))
+
+
+def min_abs(t1, t2):
+    """The argument with smaller magnitude (signs preserved)."""
+    assert np.iscomplex(t1) == np.iscomplex(t2)
+    return t1 if np.absolute(t1) < np.absolute(t2) else t2
+
+
+def _construct_freq_environ(mpos_hash, hash_to_obj, mps: Mps, domain: str, mps_conj):
+    """Cache environments for MPO site-prefixes that appear more than once
+    (reference ``mps.py:2103-2146``)."""
+    assert domain in ("L", "R")
+    counter = Counter()
+    for mpo_hash in mpos_hash:
+        for i in range(1, len(mpo_hash) + 1):
+            seq = mpo_hash[:i] if domain == "L" else tuple(reversed(mpo_hash[-i:]))
+            counter.update([tuple(seq)])
+
+    most_common = sorted(counter.items(), key=lambda x: (-x[1], len(x[0])))
+    hash_list, matrices_list = [], []
+    for hashes, n in most_common:
+        if n == 1:
+            break
+        if len(mps) < len(matrices_list):
+            break
+        hash_list.append(hashes)
+        matrices_list.append([hash_to_obj[h] for h in hashes])
+
+    result = {(): jnp.ones((1, 1, 1), dtype=backend.real_dtype)}
+    for m_hashes, matrices in zip(hash_list, matrices_list):
+        environ = result[tuple(m_hashes[:-1])]
+        idx = len(matrices) - 1 if domain == "L" else -len(matrices)
+        result[tuple(m_hashes)] = contract_one_site(
+            environ, mps[idx], matrices[-1], domain=domain, ms_conj=mps_conj[idx]
+        )
+    return result
+
+
+def _get_freq_environ(environ_dict, mpo, domain, max_length):
+    """Longest cached environment prefix for this MPO
+    (reference ``mps.py:2149-2169``)."""
+    assert domain in ("L", "R")
+    it = mpo if domain == "L" else reversed(list(mpo))
+    hashes = []
+    for mo in it:
+        hashes.append(id(mo))
+        if tuple(hashes) not in environ_dict or max_length < len(hashes):
+            hashes.pop()
+            break
+    i = len(hashes) - 1 if domain == "L" else len(mpo) - len(hashes)
+    return environ_dict[tuple(hashes)], i

@@ -1,0 +1,208 @@
+r"""Jit-cached tensor contractions for the MPS engine.
+
+Replaces the reference's opt_einsum expression cache
+(``renormalizer/mps/oe_contract_wrap.py``, ``renormalizer/mps/hop_expr.py``,
+``renormalizer/mps/lib.py:121-250``) with jitted ``jnp.einsum`` closures.
+XLA chooses the contraction schedule and fuses onto the MXU; jax's compile
+cache keys on shapes/dtypes so each (pattern, shape) pair compiles once.
+
+Everything here takes and returns device arrays.  No host transfers.
+"""
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+
+
+@lru_cache(maxsize=None)
+def _einsum_jit(formula: str, n: int):
+    """A jitted einsum closure for `formula` over `n` operands."""
+
+    @jax.jit
+    def fn(*arrays):
+        return jnp.einsum(formula, *arrays, optimize="optimal")
+
+    return fn
+
+
+def einsum(formula: str, *arrays):
+    arrays = [jnp.asarray(a) for a in arrays]
+    return _einsum_jit(formula, len(arrays))(*arrays)
+
+
+# --- environment single-site updates ------------------------------------
+# diagrams (reference ``mps/lib.py:169-250``):
+#   L-domain:  S-a-S-f      R-domain:  -f-S-a-S
+#                  d                       d
+#              O-b-O-g                 -g-O-b-O
+#                  e                       e
+#              S-c-S-h                 -h-S-c-S
+
+_ENV_FORMULAS = {
+    # (domain, ms_ndim): formula over (environ, ms_conj, mo, ms)
+    ("L", 3): "abc,adf,bdeg,ceh->fgh",
+    ("L", 4): "abc,adlf,bdeg,celh->fgh",
+    ("R", 3): "abc,fda,gdeb,hec->fgh",
+    ("R", 4): "abc,fdla,gdeb,helc->fgh",
+}
+
+
+def contract_one_site(environ, ms, mo, domain, ms_conj=None):
+    """Absorb one (mps, mpo, mps*) column into an environment tensor.
+    4-dim ``ms`` (MpDm) traces the ancilla index."""
+    if ms_conj is None:
+        ms_conj = ms.conj()
+    formula = _ENV_FORMULAS[(domain, ms.ndim)]
+    return einsum(formula, environ, ms_conj, mo, ms)
+
+
+def contract_one_site_multi_mpo(environ, ms, mos, domain, ms_conj=None):
+    """Environment update with a list of stacked MPOs
+    (reference ``mps/lib.py:121-166``)."""
+    if ms_conj is None:
+        ms_conj = ms.conj()
+    environ = jnp.asarray(environ)
+    ms = jnp.asarray(ms)
+    mos = [jnp.asarray(mo) for mo in mos]
+    if domain == "L":
+        if ms.ndim == 3:
+            out = jnp.tensordot(environ, ms_conj, axes=([0], [0]))
+            for mo in mos:
+                out = jnp.tensordot(out, mo, axes=([0, -2], [0, 1]))
+            out = jnp.tensordot(out, ms, axes=([0, -2], [0, 1]))
+        elif ms.ndim == 4:
+            out = jnp.tensordot(environ, ms_conj.transpose(0, 2, 1, 3), axes=([0], [0]))
+            for mo in mos:
+                out = jnp.tensordot(out, mo, axes=([0, -2], [0, 1]))
+            out = jnp.tensordot(out, ms, axes=([0, 1, -2], [0, 2, 1]))
+        else:
+            raise ValueError(f"MPS ndim is not 3 or 4, got {ms.ndim}")
+    else:
+        if ms.ndim == 3:
+            out = jnp.tensordot(environ, ms_conj, axes=([0], [-1]))
+            for mo in mos:
+                out = jnp.tensordot(out, mo, axes=([0, -1], [-1, 1]))
+            out = jnp.tensordot(out, ms, axes=([0, -1], [-1, 1]))
+        elif ms.ndim == 4:
+            out = jnp.tensordot(environ, ms_conj.transpose(0, 2, 1, 3), axes=([0], [-1]))
+            for mo in mos:
+                out = jnp.tensordot(out, mo, axes=([0, -1], [-1, 1]))
+            out = jnp.tensordot(out, ms, axes=([0, 2, -1], [-1, 2, 1]))
+        else:
+            raise ValueError(f"MPS ndim is not 3 or 4, got {ms.ndim}")
+    return out
+
+
+# --- effective-Hamiltonian matvecs ---------------------------------------
+# hop(c) = L . W[...] . R . c, the hot loop of DMRG and TDVP
+# (reference ``mps/hop_expr.py:7-117``); formulas keyed by
+# (nsite, ancilla, twolayer)
+
+_HOP_FORMULAS = {
+    # zero site: S-a l-S / O-b b-O / S-c k-S
+    (0, False, False): ("abc,lbk,ck->al", 2),
+    # one site
+    (1, False, False): ("abc,bdef,lfk,cek->adl", 3),
+    (1, True, False): ("abc,bdef,lfk,cegk->adgl", 3),
+    # two site
+    (2, False, False): ("abc,bdef,fghj,ljk,cehk->adgl", 4),
+    (2, True, False): ("abc,bdef,fghj,ljk,cemhnk->admgnl", 4),
+    # two-layer (H-w)^2 variants used by interior-eigenvalue DMRG and CV
+    (1, False, True): ("abcd,befg,cfhi,jgik,aej->dhk", 4),
+    (2, False, True): ("abcd,befg,cfhi,gjkl,ikmn,olnp,aejo->dhmp", 6),
+}
+
+
+def hop_expr(ltensor, rtensor, cmo, cshape, twolayer: bool = False):
+    """Build the effective-H matvec closure for the given environments and
+    center-site MPO tensors.  ``cshape`` disambiguates the ancilla case."""
+    nsite = len(cmo)
+    ancilla = 2 * nsite + 2 == len(cshape)
+    if not ancilla and nsite > 0:
+        assert nsite + 2 == len(cshape)
+
+    ltensor = jnp.asarray(ltensor)
+    rtensor = jnp.asarray(rtensor)
+    cmo = [jnp.asarray(m) for m in cmo]
+
+    if twolayer:
+        assert nsite in (1, 2) and not ancilla
+        formula, _ = _HOP_FORMULAS[(nsite, False, True)]
+        if nsite == 1:
+            operands = (ltensor, cmo[0], cmo[0], rtensor)
+        else:
+            operands = (ltensor, cmo[0], cmo[0], cmo[1], cmo[1], rtensor)
+        fn = _einsum_jit(formula, len(operands) + 1)
+        return lambda c: fn(*operands, jnp.asarray(c))
+
+    formula, _ = _HOP_FORMULAS[(nsite, ancilla if nsite else False, False)]
+    if nsite == 0:
+        operands = (ltensor, rtensor)
+    elif nsite == 1:
+        operands = (ltensor, cmo[0], rtensor)
+    else:
+        operands = (ltensor, cmo[0], cmo[1], rtensor)
+    fn = _einsum_jit(formula, len(operands) + 1)
+    return lambda c: fn(*operands, jnp.asarray(c))
+
+
+# --- effective-H diagonals for preconditioning ----------------------------
+
+def hop_diag(ltensor, rtensor, cmo, twolayer: bool = False):
+    """Diagonal of the effective Hamiltonian
+    (reference ``mps/gs.py:422-469``)."""
+    ltensor = jnp.asarray(ltensor)
+    rtensor = jnp.asarray(rtensor)
+    cmo = [jnp.asarray(m) for m in cmo]
+    nsite = len(cmo)
+    if not twolayer:
+        ldiag = einsum("aba->ba", ltensor)
+        rdiag = einsum("aba->ba", rtensor)
+        cdiags = [einsum("abbc->abc", m) for m in cmo]
+        if nsite == 1:
+            return einsum("ba,bcg,gf->acf", ldiag, cdiags[0], rdiag)
+        return einsum("ba,bce,edg,gf->acdf", ldiag, cdiags[0], cdiags[1], rdiag)
+    if nsite == 1:
+        return einsum("abca,bdef,cedg,hfgh->adh", ltensor, cmo[0], cmo[0], rtensor)
+    return einsum(
+        "abca,bdef,cedg,fhij,gihk,ljkl->adhl",
+        ltensor, cmo[0], cmo[0], cmo[1], cmo[1], rtensor,
+    )
+
+
+def hop_dense(ltensor, rtensor, cmo, twolayer: bool = False):
+    """Materialize the dense effective Hamiltonian (for small local problems,
+    reference ``mps/gs.py:307-369``)."""
+    ltensor = jnp.asarray(ltensor)
+    rtensor = jnp.asarray(rtensor)
+    cmo = [jnp.asarray(m) for m in cmo]
+    nsite = len(cmo)
+    if not twolayer:
+        if nsite == 1:
+            return einsum("abc,bdef,lfk->adlcek", ltensor, cmo[0], rtensor)
+        return einsum("abc,bdef,fghj,ljk->adglcehk", ltensor, cmo[0], cmo[1], rtensor)
+    if nsite == 1:
+        return einsum("abcd,befg,cfhi,jgik->aejdhk", ltensor, cmo[0], cmo[0], rtensor)
+    return einsum(
+        "abcd,befg,cfhi,gjkl,ikmn,olnp->aejodhmp",
+        ltensor, cmo[0], cmo[0], cmo[1], cmo[1], rtensor,
+    )
+
+
+# --- misc jitted helpers --------------------------------------------------
+
+@jax.jit
+def _tensordot1(a, b):
+    return jnp.tensordot(a, b, axes=1)
+
+
+def tensordot1(a, b):
+    """a . b over one axis (the bond-merge workhorse)."""
+    return _tensordot1(jnp.asarray(a), jnp.asarray(b))
+
+
+def asnumpy(x):
+    import numpy as np
+
+    return np.asarray(x)

@@ -7,7 +7,7 @@ target numerical parity with the reference, which requires fp64/complex128
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("RENO_PLATFORM", "cpu")
 os.environ.setdefault("RENO_DTYPE", "fp64")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

@@ -1,0 +1,203 @@
+"""MPS engine tests: MPO compilation vs dense oracles, canonicalization,
+compression, expectation values, DMRG ground state.
+
+Oracle strategy follows the reference test pyramid (SURVEY.md §4): dense
+exact diagonalization on tiny models + scalar regression values.
+"""
+
+import numpy as np
+import pytest
+
+from fixtures import dense_hamiltonian, exact_model, holstein_model, GS_E
+
+from renormalizer_tpu import Mps, Mpo, Op, Model, BasisHalfSpin, Quantity
+from renormalizer_tpu.model import heisenberg_ops
+from renormalizer_tpu.mps import StackedMpo
+from renormalizer_tpu.mps.gs import construct_mps_mpo, optimize_mps
+
+procedure = [[10, 0.4], [20, 0.2], [30, 0.1], [40, 0], [40, 0]]
+
+
+def test_mpo_dense_heisenberg():
+    nspin = 4
+    model = Model([BasisHalfSpin(i) for i in range(nspin)], heisenberg_ops(nspin))
+    mpo = Mpo(model)
+    assert np.allclose(mpo.todense(), dense_hamiltonian(model))
+    assert mpo.is_hermitian()
+
+
+@pytest.mark.parametrize("algo", ["qr", "Hopcroft-Karp", "Hungarian"])
+def test_mpo_dense_holstein(algo):
+    model = exact_model()
+    mpo = Mpo(model, algo=algo)
+    assert np.allclose(mpo.todense(), dense_hamiltonian(model), atol=1e-10)
+
+
+def test_mpo_bond_dims_compact():
+    # compiler produces the compact (nontrivial) MPO: Holstein fixture
+    mpo = Mpo(holstein_model)
+    # interior bond dims should stay modest (reference yields ~6-10 here)
+    assert max(mpo.bond_dims) < 12
+
+
+def test_mps_random_canonical():
+    mps = Mps.random(holstein_model, 1, 10)
+    assert mps.check_left_canonical()
+    assert np.allclose(mps.mp_norm, 1)
+    # quantum number structure: nexciton=1
+    assert mps.qntot == np.array([1])
+
+
+def test_from_dense_round_trip():
+    model = exact_model()
+    rng = np.random.default_rng(42)
+    wfn = rng.random(int(np.prod(model.pbond_list)))
+    wfn /= np.linalg.norm(wfn)
+    mps = Mps.from_dense(model, wfn)
+    assert np.allclose(mps.todense(), wfn)
+
+
+def test_canonicalise_preserves_state():
+    model = exact_model()
+    mpo = Mpo(model)
+    mps = Mps.random(model, 1, 10)
+    dense0 = mps.todense()
+    mps.canonicalise()
+    assert np.allclose(mps.todense(), dense0)
+    mps.canonicalise()
+    assert np.allclose(mps.todense(), dense0)
+
+
+def test_mpo_apply_vs_dense():
+    model = exact_model()
+    mpo = Mpo(model)
+    mps = Mps.random(model, 1, 10)
+    h = dense_hamiltonian(model)
+    applied = mpo.apply(mps)
+    assert np.allclose(applied.todense(), h @ mps.todense())
+
+
+def test_compress():
+    model = exact_model()
+    mpo = Mpo(model)
+    mps = Mps.random(model, 1, 10)
+    applied = mpo.apply(mps)
+    dense = applied.todense()
+    applied.canonicalise()
+    applied.compress(temp_m_trunc=1000)  # no real truncation
+    assert np.allclose(applied.todense(), dense)
+
+
+def test_add_dot_distance():
+    model = exact_model()
+    a = Mps.random(model, 1, 8)
+    b = Mps.random(model, 1, 8)
+    s = a.add(b)
+    assert np.allclose(s.todense(), a.todense() + b.todense())
+    assert np.isclose(a.conj().dot(b), np.dot(a.todense(), b.todense()))
+    assert np.isclose(
+        a.distance(b), np.linalg.norm(a.todense() - b.todense()), atol=1e-8
+    )
+
+
+def test_expectation():
+    model = exact_model()
+    mps = Mps.random(model, 1, 8)
+    mpo = Mpo(model)
+    h = dense_hamiltonian(model)
+    v = mps.todense()
+    assert np.isclose(mps.expectation(mpo), v @ h @ v)
+    # expectations with shared environments
+    occ_mpos = [Mpo(model, Op(r"a^\dagger a", dof)) for dof in model.e_dofs]
+    vals = mps.expectations(occ_mpos)
+    for dof, val in zip(model.e_dofs, vals):
+        op_dense = dense_hamiltonian(
+            Model(model.basis, [Op(r"a^\dagger a", dof)])
+        )
+        assert np.isclose(val, v @ op_dense @ v)
+
+
+def test_dmrg_tiny_vs_dense():
+    """DMRG on the tiny exact model vs dense diagonalization in the
+    1-exciton sector."""
+    model = exact_model()
+    h = dense_hamiltonian(model)
+    # project on the 1-exciton sector
+    qn_per_state = np.zeros(h.shape[0], dtype=int)
+    dims = model.pbond_list
+    for state in range(h.shape[0]):
+        idx = np.unravel_index(state, dims)
+        qn_per_state[state] = sum(
+            model.basis[i].sigmaqn[idx[i]][0] for i in range(len(dims))
+        )
+    sector = np.nonzero(qn_per_state == 1)[0]
+    e_exact = np.linalg.eigvalsh(h[np.ix_(sector, sector)])[0]
+
+    mps, mpo = construct_mps_mpo(model, 16, 1)
+    mps.optimize_config.procedure = [[8, 0.4], [16, 0.2], [16, 0], [16, 0]]
+    energies, mps_opt = optimize_mps(mps.copy(), mpo)
+    assert np.isclose(min(energies), e_exact, atol=1e-8)
+
+
+@pytest.mark.parametrize("method", ["1site", "2site"])
+def test_dmrg_holstein_regression(method):
+    """The reference's flagship GS regression
+    (``renormalizer/mps/tests/test_gs.py:21-37``): E = 0.08401412 + zpe."""
+    mps, mpo = construct_mps_mpo(holstein_model, procedure[0][0], 1)
+    mps.optimize_config.procedure = procedure
+    mps.optimize_config.method = method
+    energies, mps_opt = optimize_mps(mps.copy(), mpo)
+    assert energies[-1] == pytest.approx(GS_E, rel=1e-5)
+    assert mps_opt.expectation(mpo) == pytest.approx(GS_E, rel=1e-5)
+
+
+def test_dmrg_direct_algo():
+    mps, mpo = construct_mps_mpo(holstein_model, 10, 1)
+    mps.optimize_config.procedure = [[10, 0.4], [20, 0.2], [30, 0], [30, 0]]
+    mps.optimize_config.algo = "direct"
+    energies, _ = optimize_mps(mps.copy(), mpo)
+    assert min(energies) == pytest.approx(GS_E, rel=1e-4)
+
+
+def test_dmrg_stacked_mpo():
+    """StackedMpo: split the Hamiltonian terms into two MPOs; summed
+    eigenproblem should give the same ground state."""
+    model = holstein_model
+    terms1 = model.ham_terms[: len(model.ham_terms) // 2]
+    terms2 = model.ham_terms[len(model.ham_terms) // 2:]
+    stacked = StackedMpo([Mpo(model, terms1), Mpo(model, terms2)])
+    mps, _ = construct_mps_mpo(model, 10, 1)
+    mps.optimize_config.procedure = [[10, 0.4], [20, 0.2], [30, 0.1], [30, 0], [30, 0]]
+    energies, _ = optimize_mps(mps.copy(), stacked)
+    assert min(energies) == pytest.approx(GS_E, rel=1e-4)
+
+
+def test_dmrg_nroots():
+    """State-averaged DMRG for 2 lowest states vs dense sector spectrum."""
+    model = exact_model()
+    h = dense_hamiltonian(model)
+    dims = model.pbond_list
+    qn_per_state = np.array([
+        sum(model.basis[i].sigmaqn[np.unravel_index(s, dims)[i]][0]
+            for i in range(len(dims)))
+        for s in range(h.shape[0])
+    ])
+    sector = np.nonzero(qn_per_state == 1)[0]
+    e_exact = np.linalg.eigvalsh(h[np.ix_(sector, sector)])[:2]
+
+    mps, mpo = construct_mps_mpo(model, 16, 1)
+    mps.optimize_config.procedure = [[8, 0.4], [16, 0.2], [16, 0], [16, 0], [16, 0]]
+    mps.optimize_config.nroots = 2
+    energies, mps_list = optimize_mps(mps.copy(), mpo)
+    assert np.allclose(sorted(energies[-1]), e_exact, atol=1e-6)
+
+
+def test_dump_load(tmp_path):
+    model = exact_model()
+    mps = Mps.random(model, 1, 8)
+    fname = str(tmp_path / "mps.npz")
+    mps.dump(fname)
+    mps2 = Mps.load(model, fname)
+    assert np.allclose(mps.todense(), mps2.todense())
+    assert mps2.qnidx == mps.qnidx
+    assert np.all(mps2.qntot == mps.qntot)
