@@ -16,14 +16,34 @@ TPU-first replacements for the reference's vendored numerics:
   to the host per step.
 """
 
-from functools import partial
-from typing import Callable, NamedTuple
+from functools import lru_cache, partial
+from typing import Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 _BIG = 1e30
+
+
+# ---------------------------------------------------------------------------
+# fused factories
+#
+# The TDVP / DMRG inner loops call the Lanczos/Davidson solvers thousands of
+# times with a handful of distinct (einsum formula, shape) combinations.
+# Closures would be re-traced on every call; instead the solver body is built
+# once per formula via these factories and jax's jit cache handles per-shape
+# executables.  One XLA computation per local step — no per-iteration
+# dispatch, no host syncs.
+# ---------------------------------------------------------------------------
+
+
+def _einsum_hop(formula: str, operands, cshape):
+    def hop_flat(v):
+        c = v.reshape(cshape)
+        return jnp.einsum(formula, *operands, c, optimize="optimal").ravel()
+
+    return hop_flat
 
 
 # ---------------------------------------------------------------------------
@@ -41,21 +61,7 @@ class _DavidsonState(NamedTuple):
     it: jnp.ndarray
 
 
-def davidson(
-    hop: Callable,
-    x0,
-    hdiag,
-    tol: float = 1e-10,
-    max_cycle: int = 100,
-    max_space: int = 12,
-):
-    """Lowest eigenpair of the (hermitian) operator ``hop``.
-
-    Returns ``(theta, x, niter)`` as device arrays.  ``x0`` and ``hdiag``
-    are flat device vectors in the qn-masked subspace.
-    """
-    x0 = jnp.asarray(x0)
-    hdiag = jnp.asarray(hdiag)
+def _davidson_core(hop, x0, hdiag, tol, max_cycle, max_space):
     N = x0.shape[0]
     S = min(max_space, N)
     dtype = x0.dtype
@@ -106,6 +112,52 @@ def davidson(
     )
     st = jax.lax.while_loop(cond, body, init)
     return st.theta, st.x, st.it
+
+
+def davidson(
+    hop: Callable,
+    x0,
+    hdiag,
+    tol: float = 1e-10,
+    max_cycle: int = 100,
+    max_space: int = 12,
+):
+    """Lowest eigenpair of the (hermitian) operator ``hop``.
+
+    Returns ``(theta, x, niter)`` as device arrays.  ``x0`` and ``hdiag``
+    are flat device vectors in the qn-masked subspace."""
+    return _davidson_core(
+        hop, jnp.asarray(x0), jnp.asarray(hdiag), tol, max_cycle, max_space
+    )
+
+
+@lru_cache(maxsize=None)
+def _davidson_factory(formula: str, cshape: Tuple[int, ...], inverse: float,
+                      tol: float, max_cycle: int, max_space: int):
+    dim = int(np.prod(cshape))
+
+    @jax.jit
+    def fused(x0, hdiag, mask_idx, *operands):
+        hop_full = _einsum_hop(formula, operands, cshape)
+
+        def hop(x):
+            full = jnp.zeros(dim, dtype=x.dtype).at[mask_idx].set(x)
+            return hop_full(full)[mask_idx] * inverse
+
+        return _davidson_core(hop, x0, hdiag, tol, max_cycle, max_space)
+
+    return fused
+
+
+def davidson_fused(formula, operands, cshape, x0, hdiag, mask_idx,
+                   inverse=1.0, tol=1e-10, max_cycle=100, max_space=12):
+    """Fully jitted qn-masked Davidson, cached per (formula, shape).
+
+    ``operands`` are the environment/MPO tensors of the effective-H einsum;
+    ``mask_idx`` are the flat indices of the allowed quantum-number sector."""
+    fn = _davidson_factory(formula, tuple(cshape), float(inverse), float(tol),
+                           int(max_cycle), int(max_space))
+    return fn(jnp.asarray(x0), jnp.asarray(hdiag), jnp.asarray(mask_idx), *operands)
 
 
 def davidson_multiroot(
@@ -191,20 +243,76 @@ def davidson_multiroot(
     return thetas, X, it
 
 
+def davidson_host(hop, cguess, precond, nroots=1, tol=1e-9, max_cycle=100,
+                  max_space=None):
+    """Host-orchestrated block Davidson for operators whose matvec is not
+    jax-traceable (e.g. the TDA tangent-space Hamiltonian whose hop sweeps
+    environments in Python).  ``hop`` maps a 1-d numpy vector to a 1-d numpy
+    vector; ``precond(r, e)`` preconditions a residual.
+
+    Returns ``(e, c)`` with ``c`` a list of eigenvectors (or a single vector
+    when ``nroots == 1``)."""
+    if max_space is None:
+        max_space = max(6 * nroots, 14)
+    x0 = [np.asarray(x, dtype=float) for x in cguess]
+    N = x0[0].shape[0]
+    max_space = min(max_space, N)
+
+    V = np.zeros((0, N))
+
+    def add_vectors(vs, V):
+        for v in vs:
+            v = v - V.T @ (V @ v) if len(V) else v.copy()
+            v = v - V.T @ (V @ v) if len(V) else v
+            norm = np.linalg.norm(v)
+            if norm > 1e-10:
+                V = np.vstack([V, v / norm])
+        return V
+
+    V = add_vectors(x0, V)
+    W = np.array([hop(v) for v in V])
+    e_prev = None
+    for it in range(max_cycle):
+        G = V @ W.T
+        G = (G + G.T) / 2
+        w_eig, c = np.linalg.eigh(G)
+        k = min(nroots, len(w_eig))
+        thetas = w_eig[:k]
+        X = c[:, :k].T @ V
+        HX = c[:, :k].T @ W
+        R = HX - thetas[:, None] * X
+        rnorms = np.linalg.norm(R, axis=1)
+        converged = np.all(rnorms < tol) or (
+            e_prev is not None and len(e_prev) == k
+            and np.allclose(thetas, e_prev, atol=tol)
+        )
+        if converged:
+            break
+        e_prev = thetas
+        if len(V) + k > max_space:
+            # thick restart with the current ritz vectors
+            V = np.zeros((0, N))
+            V = add_vectors(list(X), V)
+            W = np.array([hop(v) for v in V])
+        new_dirs = [precond(R[i], thetas[i]) for i in range(k)]
+        old_len = len(V)
+        V = add_vectors(new_dirs, V)
+        if len(V) == old_len:
+            break
+        W = np.vstack([W, [hop(v) for v in V[old_len:]]])
+    e = thetas if nroots > 1 else float(thetas[0])
+    c = [X[i] for i in range(min(nroots, X.shape[0]))]
+    if nroots == 1:
+        c = c[0]
+    return e, c
+
+
 # ---------------------------------------------------------------------------
 # Lanczos expm
 # ---------------------------------------------------------------------------
 
-def expm_krylov(hop: Callable, dt, v0, max_m: int = 30, tol: float = 1e-12):
-    """Approximate ``expm(dt * A) @ v0`` for hermitian ``A`` via Lanczos with
-    full reorthogonalization (reference ``lib/krylov/krylov.py:27-100``).
-
-    ``dt`` may be complex (real-time evolution uses ``-1j*tau``).
-    Returns ``(w, m_used)`` as device arrays.
-    """
-    v0 = jnp.asarray(v0)
+def _lanczos_expm(hop, dt, v0, m_max):
     N = v0.shape[0]
-    m_max = int(min(max_m, N))
     beta0 = jnp.linalg.norm(v0)
     dt = jnp.asarray(dt)
     out_dtype = jnp.result_type(v0.dtype, dt.dtype)
@@ -246,6 +354,38 @@ def expm_krylov(hop: Callable, dt, v0, max_m: int = 30, tol: float = 1e-12):
     return w, jnp.asarray(m_max)
 
 
+def expm_krylov(hop: Callable, dt, v0, max_m: int = 30, tol: float = 1e-12):
+    """Approximate ``expm(dt * A) @ v0`` for hermitian ``A`` via Lanczos with
+    full reorthogonalization (reference ``lib/krylov/krylov.py:27-100``).
+
+    ``dt`` may be complex (real-time evolution uses ``-1j*tau``).
+    Returns ``(w, m_used)`` as device arrays."""
+    v0 = jnp.asarray(v0)
+    m_max = int(min(max_m, v0.shape[0]))
+    return _lanczos_expm(hop, jnp.asarray(dt), v0, m_max)
+
+
+@lru_cache(maxsize=None)
+def _expm_factory(formula: str, cshape: Tuple[int, ...], max_m: int):
+    @jax.jit
+    def fused(dt, c0, *operands):
+        hop = _einsum_hop(formula, operands, cshape)
+        w, _ = _lanczos_expm(hop, dt, c0.ravel(), max_m)
+        return w.reshape(cshape)
+
+    return fused
+
+
+def expm_krylov_fused(formula, operands, dt, c0, max_m: int = 30):
+    """Fully jitted Lanczos expm of an einsum-defined effective Hamiltonian,
+    cached per (formula, shape).  The entire local propagation is one XLA
+    computation: zero host round-trips and no per-call retracing."""
+    c0 = jnp.asarray(c0)
+    m = int(min(max_m, c0.size))
+    fn = _expm_factory(formula, tuple(c0.shape), m)
+    return fn(jnp.asarray(dt), c0, *[jnp.asarray(o) for o in operands])
+
+
 # ---------------------------------------------------------------------------
 # adaptive RKF45 initial-value solver
 # ---------------------------------------------------------------------------
@@ -273,7 +413,7 @@ _FB_B5 = np.array([16 / 135, 0, 6656 / 12825, 28561 / 56430, -9 / 50, 2 / 55])
 _FB_B4 = np.array([25 / 216, 0, 1408 / 2565, 2197 / 4104, -1 / 5, 0])
 
 
-def solve_ivp(fun, t_span, y0, rtol=1e-5, atol=1e-8, max_steps=100000, first_step=None):
+def solve_ivp(fun, t_span, y0, rtol=1e-3, atol=1e-6, max_steps=100000, first_step=None):
     """Adaptive RKF45 integration of ``dy/dt = fun(t, y)`` from ``t_span[0]``
     to ``t_span[1]``.  Host-driven control loop; the six stage evaluations per
     step run on device.  Returns :class:`IvpResult` (final state only)."""
@@ -283,7 +423,7 @@ def solve_ivp(fun, t_span, y0, rtol=1e-5, atol=1e-8, max_steps=100000, first_ste
     span = abs(t1 - t0)
     if span == 0:
         return IvpResult(y, t0, 0, 0)
-    h = first_step if first_step is not None else span / 100
+    h = first_step if first_step is not None else span / 10
     h = min(h, span)
     t = t0
     nfev = 0
@@ -308,6 +448,16 @@ def solve_ivp(fun, t_span, y0, rtol=1e-5, atol=1e-8, max_steps=100000, first_ste
                 y4 = y4 + dt * _FB_B4[i] * ks[i]
         scale = atol + rtol * float(jnp.max(jnp.abs(y5)))
         err = float(jnp.linalg.norm(y5 - y4)) / (scale * np.sqrt(y.size))
+        if not np.isfinite(err):
+            # NaN/Inf from the RHS: shrink aggressively, count as a step
+            # attempt so a divergent RHS cannot loop forever
+            h = h * 0.1
+            nsteps += 1
+            if h < span * 1e-14:
+                raise FloatingPointError(
+                    "solve_ivp: right-hand side produced non-finite values"
+                )
+            continue
         if err <= 1.0 or h <= span * 1e-12:
             t = t + dt
             y = y5

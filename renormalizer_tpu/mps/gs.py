@@ -13,12 +13,12 @@ from typing import List, Tuple, Union
 import jax.numpy as jnp
 import numpy as np
 
-from renormalizer_tpu.lib.solvers import davidson, davidson_multiroot
+from renormalizer_tpu.lib.solvers import davidson, davidson_fused, davidson_multiroot
 from renormalizer_tpu.mps.lib import Environ, cvec2cmat
 from renormalizer_tpu.mps.mpo import Mpo, StackedMpo
 from renormalizer_tpu.mps.mps import Mps
 from renormalizer_tpu.mps.svd_qn import get_qn_mask
-from renormalizer_tpu.ops.contract import hop_diag, hop_dense, hop_expr, tensordot1
+from renormalizer_tpu.ops.contract import hop_diag, hop_dense, hop_expr, hop_spec, tensordot1
 from renormalizer_tpu.utils import CompressConfig, CompressCriteria, Quantity
 
 logger = logging.getLogger(__name__)
@@ -280,7 +280,8 @@ def eigh_iterative(mps, qn_mask, ltensor, rtensor, cmo, omega, cguess):
     """Fused-device Davidson eigensolve in the qn-masked subspace
     (reference ``gs.py:486-576``)."""
     inverse = mps.optimize_config.inverse
-    if isinstance(ltensor, list) and not isinstance(cmo[0], (jnp.ndarray, np.ndarray)):
+    stacked = isinstance(ltensor, list) and not isinstance(cmo[0], (jnp.ndarray, np.ndarray))
+    if stacked:
         hams = [
             get_ham_iterative(mps, qn_mask, lt, rt, cm, omega)
             for lt, rt, cm in zip(ltensor, rtensor, cmo)
@@ -305,11 +306,24 @@ def eigh_iterative(mps, qn_mask, ltensor, rtensor, cmo, omega, cguess):
         raise NotImplementedError(
             f"eigensolver algo={algo} is not available; use 'davidson' or 'direct'"
         )
+    # convergence threshold scaled to the working precision
+    from renormalizer_tpu.backend import backend as _backend
+
+    tol = 1e-5 if _backend.is_32bits else 1e-10
     if nroots == 1:
-        e, c, niter = davidson(hop, jnp.asarray(cguess[0]), hdiag, max_cycle=100)
+        if not stacked:
+            # fully fused path: one cached XLA computation per (formula, shape)
+            formula, operands = hop_spec(ltensor, rtensor, cmo, qn_mask.shape,
+                                         omega is not None)
+            e, c, niter = davidson_fused(
+                formula, operands, qn_mask.shape, jnp.asarray(cguess[0]), hdiag,
+                idx, inverse=inverse, tol=tol, max_cycle=100,
+            )
+        else:
+            e, c, niter = davidson(hop, jnp.asarray(cguess[0]), hdiag, tol=tol, max_cycle=100)
         logger.debug(f"use davidson, HC hops: {int(niter)}")
         return float(np.asarray(e)), sign_fix(c, 1)
-    thetas, X, niter = davidson_multiroot(hop, cguess, hdiag, nroots, max_cycle=100)
+    thetas, X, niter = davidson_multiroot(hop, cguess, hdiag, nroots, tol=max(tol, 1e-9), max_cycle=100)
     logger.debug(f"use block davidson, iterations: {int(niter)}")
     c = [X[i] for i in range(nroots)]
     return np.asarray(thetas), sign_fix(c, nroots)

@@ -23,12 +23,13 @@ from collections import Counter, deque
 from functools import wraps, reduce
 from typing import Dict, List, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.linalg
 
 from renormalizer_tpu.backend import backend
-from renormalizer_tpu.lib.solvers import davidson, expm_krylov, solve_ivp
+from renormalizer_tpu.lib.solvers import davidson, expm_krylov, expm_krylov_fused, solve_ivp
 from renormalizer_tpu.model import Model, Op, OpSum
 from renormalizer_tpu.model import basis as ba
 from renormalizer_tpu.mps import svd_qn
@@ -40,6 +41,7 @@ from renormalizer_tpu.ops.contract import (
     contract_one_site,
     einsum,
     hop_expr,
+    hop_spec,
     tensordot1,
 )
 from renormalizer_tpu.utils import (
@@ -771,21 +773,16 @@ class Mps(MatrixProduct):
         else:
             mps = self.to_complex()
         environ = Environ(mps, mpo)
-        local_steps = []
         for _ in range(2):
             for imps in mps.iter_idx_list(full=True):
                 system = "L" if mps.to_right else "R"
                 l_array = environ.read("L", imps - 1)
                 r_array = environ.read("R", imps + 1)
                 shape = list(mps[imps].shape)
-                hop = hop_expr(l_array, r_array, [mpo[imps]], shape)
-                mps_t, j = expm_krylov(
-                    lambda y: hop(y.reshape(shape)).ravel(),
-                    -1j * evolve_dt / 2,
-                    mps[imps].ravel(),
+                formula, operands = hop_spec(l_array, r_array, [mpo[imps]], shape)
+                mps_t = expm_krylov_fused(
+                    formula, operands, -1j * evolve_dt / 2, mps[imps]
                 )
-                local_steps.append(int(j))
-                mps_t = mps_t.reshape(shape)
 
                 qnbigl, qnbigr, _ = mps._get_big_qn([imps])
                 u, qnlset, v, qnrset = svd_qn.svd_qn(
@@ -799,29 +796,20 @@ class Mps(MatrixProduct):
                     mps.qnidx = imps - 1
                     r_array = environ.GetLR("R", imps, mps, mpo, itensor=r_array, method="System")
                     # backward evolution of the bond tensor
-                    hop_u = hop_expr(l_array, r_array, [], u.shape)
-                    mps_t, j = expm_krylov(
-                        lambda y: hop_u(y.reshape(u.shape)).ravel(),
-                        1j * evolve_dt / 2, u.ravel(),
-                    )
-                    local_steps.append(int(j))
-                    mps[imps - 1] = tensordot1(mps[imps - 1], mps_t.reshape(u.shape))
+                    formula, operands = hop_spec(l_array, r_array, [], u.shape)
+                    mps_t = expm_krylov_fused(formula, operands, 1j * evolve_dt / 2, u)
+                    mps[imps - 1] = tensordot1(mps[imps - 1], mps_t)
                 elif mps.to_right and imps != len(mps) - 1:
                     mps[imps] = u.reshape(shape[:-1] + [-1])
                     mps.qn[imps + 1] = np.array(qnlset)
                     mps.qnidx = imps + 1
                     l_array = environ.GetLR("L", imps, mps, mpo, itensor=l_array, method="System")
-                    hop_svt = hop_expr(l_array, r_array, [], vt.shape)
-                    mps_t, j = expm_krylov(
-                        lambda y: hop_svt(y.reshape(vt.shape)).ravel(),
-                        1j * evolve_dt / 2, vt.ravel(),
-                    )
-                    local_steps.append(int(j))
-                    mps[imps + 1] = tensordot1(mps_t.reshape(vt.shape), mps[imps + 1])
+                    formula, operands = hop_spec(l_array, r_array, [], vt.shape)
+                    mps_t = expm_krylov_fused(formula, operands, 1j * evolve_dt / 2, vt)
+                    mps[imps + 1] = tensordot1(mps_t, mps[imps + 1])
                 else:
                     mps[imps] = mps_t
             mps._switch_direction()
-        logger.debug(f"TDVP-PS Krylov space: max {max(local_steps)}")
         return mps
 
     @adaptive_tdvp
@@ -833,7 +821,6 @@ class Mps(MatrixProduct):
         else:
             mps = self.to_complex()
         environ = Environ(mps, mpo)
-        local_steps = []
         for _ in range(2):
             for imps in mps.iter_idx_list(full=False):
                 if mps.to_right:
@@ -847,13 +834,8 @@ class Mps(MatrixProduct):
                 l_array = environ.read("L", lidx)
                 r_array = environ.read("R", ridx)
                 ms2 = tensordot1(mps[cidx0], mps[cidx1])
-                hop = hop_expr(l_array, r_array, [mpo[cidx0], mpo[cidx1]], ms2.shape)
-                mps_t, j = expm_krylov(
-                    lambda y: hop(y.reshape(ms2.shape)).ravel(),
-                    -1j * evolve_dt / 2, ms2.ravel(),
-                )
-                local_steps.append(int(j))
-                mps_t = mps_t.reshape(ms2.shape)
+                formula, operands = hop_spec(l_array, r_array, [mpo[cidx0], mpo[cidx1]], ms2.shape)
+                mps_t = expm_krylov_fused(formula, operands, -1j * evolve_dt / 2, ms2)
                 qnbigl, qnbigr, _ = mps._get_big_qn([cidx0, cidx1])
                 mps._update_mps(mps_t, [cidx0, cidx1], qnbigl, qnbigr)
                 if mps.compress_config.ofs is not None:
@@ -865,16 +847,11 @@ class Mps(MatrixProduct):
                 else:
                     r_array = environ.GetLR("R", ridx - 1, mps, mpo, itensor=r_array, method="System")
                 ms1 = mps[cidx2]
-                hop1 = hop_expr(l_array, r_array, [mpo[cidx2]], ms1.shape)
-                mps_t, j = expm_krylov(
-                    lambda y: hop1(y.reshape(ms1.shape)).ravel(),
-                    1j * evolve_dt / 2, ms1.ravel(),
-                )
-                local_steps.append(int(j))
-                mps[cidx2] = mps_t.reshape(ms1.shape)
+                formula, operands = hop_spec(l_array, r_array, [mpo[cidx2]], ms1.shape)
+                mps_t = expm_krylov_fused(formula, operands, 1j * evolve_dt / 2, ms1)
+                mps[cidx2] = mps_t
                 mps._push_cano(cidx2)
             mps._switch_direction()
-        logger.debug(f"TDVP-PS2 Krylov space: max {max(local_steps)}")
         return mps
 
     def _evolve_tdvp_mu_vmf(self, mpo, evolve_dt) -> "Mps":
@@ -1083,6 +1060,7 @@ class Mps(MatrixProduct):
                             shape, hop, True, S_inv, True, coef,
                             ovlp_inv1=S_L_inv_list[imps + 1],
                             ovlp_inv0=S_L_inv_list[imps], ovlp0=S_L_list[imps],
+                            jit_compile=True,
                         )
                         if self.evolve_config.ivp_solver == "krylov":
                             # func = (hermitian action) / coef; fold coef into
@@ -1126,9 +1104,10 @@ class Mps(MatrixProduct):
                     shape, hop, False, S_inv, True, coef,
                     ovlp_inv1=S_L_inv_list[imps + 1],
                     ovlp_inv0=S_L_inv_list[imps], ovlp0=S_L_list[imps],
+                    jit_compile=True,
                 )
                 sol = solve_ivp(func, (0, evolve_dt), mps[imps].ravel())
-                cmf_rk_steps.append(sol.nsteps)
+                cmf_rk_steps.append(sol.nsteps)  # scipy-default tolerances, like the reference
                 mps[imps] = sol.y.reshape(shape)
 
             if cmf_rk_steps:
@@ -1186,9 +1165,14 @@ def projector(ms, left: bool, Ovlp_inv1=None, Ovlp0=None):
 def integrand_func_factory(
     shape, hop, islast, S_inv, left: bool, coef,
     ovlp_inv1=None, ovlp_inv0=None, ovlp0=None,
+    jit_compile: bool = False,
 ):
     """EOM right-hand side for one site in VMF/CMF evolution
-    (reference ``mps.py:1849-1889``)."""
+    (reference ``mps.py:1849-1889``).
+
+    ``jit_compile=True`` fuses the whole right-hand side into one XLA
+    computation; use when the function is evaluated many times with the same
+    operands (CMF per-site ODE integration)."""
     S_inv = jnp.asarray(S_inv)
 
     def func(t, y):
@@ -1214,6 +1198,9 @@ def integrand_func_factory(
             HC = jnp.tensordot(HC, ovlp_inv0, axes=(-1, -1))
         return jnp.tensordot(S_inv.astype(HC.dtype), HC, axes=(0, 0)).ravel() / coef
 
+    if jit_compile:
+        jitted = jax.jit(lambda y: func(0.0, y))
+        return lambda t, y: jitted(y)
     return func
 
 

@@ -114,6 +114,30 @@ _HOP_FORMULAS = {
 }
 
 
+def hop_spec(ltensor, rtensor, cmo, cshape, twolayer: bool = False):
+    """Return ``(formula, operands)`` such that
+    ``einsum(formula, *operands, c) == H_eff @ c``.  Used by the fused
+    solver factories (``lib/solvers.expm_krylov_fused`` / ``davidson_fused``)
+    which cache one jitted computation per (formula, shape)."""
+    nsite = len(cmo)
+    ancilla = 2 * nsite + 2 == len(cshape)
+    ltensor = jnp.asarray(ltensor)
+    rtensor = jnp.asarray(rtensor)
+    cmo = [jnp.asarray(m) for m in cmo]
+    if twolayer:
+        assert nsite in (1, 2) and not ancilla
+        formula, _ = _HOP_FORMULAS[(nsite, False, True)]
+        if nsite == 1:
+            return formula, (ltensor, cmo[0], cmo[0], rtensor)
+        return formula, (ltensor, cmo[0], cmo[0], cmo[1], cmo[1], rtensor)
+    formula, _ = _HOP_FORMULAS[(nsite, ancilla if nsite else False, False)]
+    if nsite == 0:
+        return formula, (ltensor, rtensor)
+    if nsite == 1:
+        return formula, (ltensor, cmo[0], rtensor)
+    return formula, (ltensor, cmo[0], cmo[1], rtensor)
+
+
 def hop_expr(ltensor, rtensor, cmo, cshape, twolayer: bool = False):
     """Build the effective-H matvec closure for the given environments and
     center-site MPO tensors.  ``cshape`` disambiguates the ancilla case."""

@@ -1,0 +1,226 @@
+"""Application-layer tests on tiny models with dense oracles."""
+
+import numpy as np
+import pytest
+
+from fixtures import dense_hamiltonian, exact_model
+
+from renormalizer_tpu import (
+    BasisHalfSpin,
+    BasisSHO,
+    CompressConfig,
+    CompressCriteria,
+    EvolveConfig,
+    EvolveMethod,
+    Model,
+    Mpo,
+    Mps,
+    Op,
+    Quantity,
+)
+from renormalizer_tpu.model import HolsteinModel, Mol, Phonon
+
+
+
+
+def test_spectra_zerot():
+    """Zero-T absorption autocorrelation vs dense oracle."""
+    import scipy.linalg
+
+    from renormalizer_tpu.spectra import SpectraOneWayPropZeroT, SpectraTwoWayPropZeroT
+
+    ph = Phonon.simple_phonon(Quantity(1.0), Quantity(0.5), 2)
+    model = HolsteinModel([Mol(Quantity(1.0), [ph], 1.0)] * 2, Quantity(0.2))
+    dt, nsteps = 0.2, 6
+
+    job = SpectraTwoWayPropZeroT(model, "abs")
+    job.evolve(dt, nsteps)
+    autocorr = job.autocorr
+
+    # dense oracle
+    h = dense_hamiltonian(model)
+    dims = model.pbond_list
+    # mu = sum_i dipole_i * a_i^dagger
+    mu_terms = [Op(r"a^\dagger", dof, 1.0) for dof in model.e_dofs]
+    mu = dense_hamiltonian(Model(model.basis, mu_terms))
+    # ground state of the 0-exciton sector is the vacuum-phonon ground state
+    w, v = np.linalg.eigh(h)
+    qn = np.zeros(h.shape[0], dtype=int)
+    for s in range(h.shape[0]):
+        idx = np.unravel_index(s, dims)
+        qn[s] = sum(model.basis[i].sigmaqn[idx[i]][0] for i in range(len(dims)))
+    sector0 = np.nonzero(qn == 0)[0]
+    h0 = h[np.ix_(sector0, sector0)]
+    w0, v0 = np.linalg.eigh(h0)
+    gs = np.zeros(h.shape[0])
+    gs[sector0] = v0[:, 0]
+    ket0 = mu @ gs
+    # the job's autocorr is the unnormalized <mu gs| e^{-iHt} |mu gs>
+    oracle = []
+    for i in range(nsteps + 1):
+        t = dt * i
+        ket_t = scipy.linalg.expm(-1j * h * t) @ ket0
+        oracle.append(ket0 @ ket_t)
+    oracle = np.array(oracle)
+    assert np.allclose(autocorr[: len(oracle)], oracle, atol=5e-3)
+
+
+def test_spectra_exact_emi():
+    """Exact-propagator zero-T emission runs and produces |autocorr| <= 1."""
+    from renormalizer_tpu.spectra import SpectraExact
+
+    ph = Phonon.simple_phonon(Quantity(1.0), Quantity(0.5), 4)
+    model = HolsteinModel([Mol(Quantity(1.0), [ph], 1.0)] * 2, Quantity(0.1))
+    job = SpectraExact(model, "emi")
+    job.evolve(0.2, 5)
+    assert len(job.autocorr) == 6
+    assert np.all(np.abs(job.autocorr) <= 1 + 1e-8)
+    assert np.isclose(abs(job.autocorr[0]), 1, atol=1e-6)
+
+
+def test_sbm_dynamics():
+    """Unbiased spin-boson: sigma_z decays from 1; cross-check vs dense."""
+    import scipy.linalg
+
+    from renormalizer_tpu.sbm import SpinBosonDynamics
+    from renormalizer_tpu.model import SpinBosonModel
+
+    ph = Phonon.simple_phonon(Quantity(1.0), Quantity(0.5), 2)
+    model = SpinBosonModel(Quantity(0.0), Quantity(0.5), [ph])
+    job = SpinBosonDynamics(model, compress_config=CompressConfig(CompressCriteria.fixed))
+    dt, nsteps = 0.2, 5
+    job.evolve(dt, nsteps)
+
+    h = dense_hamiltonian(model)
+    sz = dense_hamiltonian(Model(model.basis, [Op("sigma_z", "spin")]))
+    psi0 = np.zeros(h.shape[0])
+    psi0[0] = 1  # spin up, phonon vacuum
+    oracle = []
+    for i in range(nsteps + 1):
+        psit = scipy.linalg.expm(-1j * h * dt * i) @ psi0
+        oracle.append(np.real(psit.conj() @ sz @ psit))
+    assert np.allclose(job.sigma_z, oracle, atol=1e-3)
+
+
+def test_vibronic_dynamics():
+    """2-state 1-mode vibronic model autocorrelation vs dense."""
+    import scipy.linalg
+
+    from renormalizer_tpu.vibronic import VibronicModelDynamics
+
+    basis = [BasisHalfSpin("e"), BasisSHO("v", 1.0, 4)]
+    terms = (
+        Op("sigma_z", "e", 0.5)
+        + Op("p^2", "v", 0.5) + Op("x^2", "v", 0.5)
+        + Op("sigma_x", "e") * Op("x", "v") * 0.2
+    )
+    model = Model(basis, terms)
+    job = VibronicModelDynamics(model, init_condition={"e": 0, "v": 0})
+    dt, nsteps = 0.2, 4
+    job.evolve(dt, nsteps)
+
+    h = dense_hamiltonian(model)
+    psi0 = np.zeros(h.shape[0])
+    psi0[0] = 1
+    # autocorrelation at 2t via the real-initial-state trick
+    for t, ac in zip(job.autocorr_time, job.autocorr_array):
+        psit = scipy.linalg.expm(-1j * h * t) @ psi0
+        assert np.isclose(psi0 @ psit, ac, atol=1e-3)
+
+
+def test_vscf():
+    """VSCF on a decoupled pair of oscillators gives exact energies."""
+    from renormalizer_tpu.vibration import Vscf
+
+    basis = [BasisSHO("v0", 1.0, 8), BasisSHO("v1", 0.5, 8)]
+    terms = (
+        Op("p^2", "v0", 0.5) + Op("x^2", "v0", 0.5)
+        + Op("p^2", "v1", 0.5) + Op("x^2", "v1", 0.5 * 0.25)
+    )
+    model = Model(basis, terms)
+    scf = Vscf(model)
+    scf.kernel(nsweeps=5)
+    # modal energies of site 0 are (n + 1/2) * 1 + zpe of the other mode
+    e0 = np.asarray(scf.e[0])
+    gaps = np.diff(e0[:4])
+    assert np.allclose(gaps, 1.0, atol=1e-6)
+    e1 = np.asarray(scf.e[1])
+    assert np.allclose(np.diff(e1[:4]), 0.5, atol=1e-6)
+
+
+def test_tda():
+    """TDA excitation energies vs dense spectrum of the 1-exciton sector."""
+    from renormalizer_tpu.mps import TDA
+    from renormalizer_tpu.mps.gs import construct_mps_mpo, optimize_mps
+
+    model = exact_model()
+    mps, mpo = construct_mps_mpo(model, 16, 1)
+    mps.optimize_config.procedure = [[8, 0.4], [16, 0.2], [16, 0], [16, 0]]
+    energies, mps_opt = optimize_mps(mps.copy(), mpo)
+
+    tda = TDA(model, mpo, mps_opt, nroots=3)
+    e = tda.kernel()
+
+    h = dense_hamiltonian(model)
+    dims = model.pbond_list
+    qn = np.array([
+        sum(model.basis[i].sigmaqn[np.unravel_index(s, dims)[i]][0]
+            for i in range(len(dims)))
+        for s in range(h.shape[0])
+    ])
+    sector = np.nonzero(qn == 1)[0]
+    w = np.linalg.eigvalsh(h[np.ix_(sector, sector)])
+    # the first TDA roots approximate the low-lying excited states
+    assert np.allclose(e[:2], w[1:3], atol=2e-3)
+
+
+def test_transport_spectral_function():
+    """G_ij(0) = delta_{ij} for the free-electron TI1D model."""
+    from renormalizer_tpu.model import TI1DModel
+    from renormalizer_tpu.transport import SpectralFunctionZT
+    from renormalizer_tpu.model.basis import BasisSimpleElectron
+
+    basis = [BasisSimpleElectron("e")]
+    local = []
+    nonlocal_terms = Op(r"a^\dagger a", [(0, "e"), (1, "e")], -1.0) + Op(
+        r"a^\dagger a", [(1, "e"), (0, "e")], -1.0
+    )
+    model = TI1DModel(basis, local, nonlocal_terms, 4)
+    job = SpectralFunctionZT(model)
+    job.evolve(0.1, 2)
+    G0 = job.G_array[0]
+    assert np.isclose(G0[0] * 1j, 1, atol=1e-6)
+    assert np.allclose(np.abs(G0[1:]), 0, atol=1e-6)
+
+
+def test_cv_zerot():
+    """DDMRG correction vector at two frequencies vs the dense Lorentzian
+    oracle -1/pi Im <0|mu (H-E0-w-i eta)^-1 mu|0>."""
+    from renormalizer_tpu.cv import SpectraZtCV
+
+    ph = Phonon.simple_phonon(Quantity(1.0), Quantity(0.4), 2)
+    model = HolsteinModel([Mol(Quantity(1.0), [ph], 1.0)] * 2, Quantity(0.2))
+    eta = 0.05
+    cv = SpectraZtCV(model, "abs", m_max=16, eta=eta,
+                     procedure_cv=[0.4, 0.2, 0.1, 0] + [0] * 10)
+    h = dense_hamiltonian(model)
+    dims = model.pbond_list
+    mu = dense_hamiltonian(
+        Model(model.basis, [Op(r"a^\dagger", d, 1.0) for d in model.e_dofs])
+    )
+    qn = np.array([
+        sum(model.basis[i].sigmaqn[np.unravel_index(s, dims)[i]][0]
+            for i in range(len(dims)))
+        for s in range(h.shape[0])
+    ])
+    s0 = np.nonzero(qn == 0)[0]
+    w0, v0 = np.linalg.eigh(h[np.ix_(s0, s0)])
+    gs_vec = np.zeros(h.shape[0])
+    gs_vec[s0] = v0[:, 0]
+    ket = mu @ gs_vec
+    for omega in (1.05, 1.5):
+        res = cv.cv_solve(omega)
+        A = h - (w0[0] + omega) * np.eye(h.shape[0]) + 1j * eta * np.eye(h.shape[0])
+        x = np.linalg.solve(A, ket)
+        oracle = -1 / np.pi * np.imag(ket @ x)
+        assert abs(res - oracle) / abs(oracle) < 1e-3

@@ -1,8 +1,10 @@
-"""Time evolution oracle tests: every evolution scheme vs dense
+"""Time evolution oracle tests: evolution schemes vs dense
 ``scipy.linalg.expm`` on the tiny exactly-solvable Holstein model.
 
-Mirrors the reference strategy (``renormalizer/mps/tests/test_evolve.py``)
-with the qutip oracle replaced by a kron-assembled dense Hamiltonian.
+Protocol mirrors the reference (``renormalizer/mps/tests/test_evolve.py``):
+initial state a^dagger_0 |gs>, Hamiltonian MPO offset by the initial energy,
+time step 0.2, mean cumulative deviation of electronic occupations < 1e-4.
+The qutip oracle is replaced by a kron-assembled dense Hamiltonian.
 """
 
 import numpy as np
@@ -11,88 +13,135 @@ import scipy.linalg
 
 from fixtures import dense_hamiltonian, exact_model
 
-from renormalizer_tpu import Mps, Mpo, Op, EvolveConfig, EvolveMethod
+from renormalizer_tpu import (
+    CompressConfig,
+    CompressCriteria,
+    EvolveConfig,
+    EvolveMethod,
+    Mpo,
+    Mps,
+    Quantity,
+)
+from renormalizer_tpu.model import Model
 from renormalizer_tpu.mps import MpDm, ThermalProp
 
-
-def _e_occ_oracle(model, psi0, times):
-    h = dense_hamiltonian(model)
-    occ_ops = []
-    for dof in model.e_dofs:
-        from renormalizer_tpu.model import Model
-
-        occ_ops.append(dense_hamiltonian(Model(model.basis, [Op(r"a^\dagger a", dof)])))
-    res = []
-    for t in times:
-        psit = scipy.linalg.expm(-1j * h * t) @ psi0
-        res.append([np.real(psit.conj() @ o @ psit) for o in occ_ops])
-    return np.array(res)
-
-
-EVOLVE_CONFIGS = [
-    EvolveConfig(EvolveMethod.prop_and_compress, adaptive=True, guess_dt=0.1),
-    EvolveConfig(EvolveMethod.prop_and_compress_tdrk4),
-    EvolveConfig(EvolveMethod.prop_and_compress_tdrk),
-    EvolveConfig(EvolveMethod.tdvp_ps),
-    EvolveConfig(EvolveMethod.tdvp_ps2),
-    EvolveConfig(EvolveMethod.tdvp_mu_vmf, ivp_rtol=1e-6, ivp_atol=1e-9, force_ovlp=False),
-    EvolveConfig(EvolveMethod.tdvp_vmf, ivp_rtol=1e-6, ivp_atol=1e-9, force_ovlp=False),
-    EvolveConfig(EvolveMethod.tdvp_mu_cmf),
+model = exact_model()
+H_DENSE = dense_hamiltonian(model)
+OCC_DENSE = [
+    dense_hamiltonian(Model(model.basis, [__import__("renormalizer_tpu").Op(r"a^\dagger a", dof)]))
+    for dof in model.e_dofs
 ]
 
 
-@pytest.mark.parametrize("evolve_config", EVOLVE_CONFIGS, ids=lambda c: c.method.name)
-def test_evolve_schemes(evolve_config):
-    model = exact_model()
-    mpo = Mpo(model)
-    # initial state: electron on site 0
-    init = Mps.hartree_product_state(model, condition={0: 1})
-    init = init.expand_bond_dimension(hint_mpo=mpo, include_ex=False)
-    init.evolve_config = evolve_config
+def _make_init():
+    tentative_mpo = Mpo(model)
+    init_mps = Mpo.onsite(model, r"a^\dagger", dof_set=[0]) @ Mps.ground_state(model, False)
+    init_mps = init_mps.expand_bond_dimension(hint_mpo=tentative_mpo)
+    e = init_mps.expectation(tentative_mpo)
+    mpo = Mpo(model, offset=Quantity(e))
+    return init_mps, mpo, e
 
-    nsteps, dt = 5, 4.0
-    psi0 = init.todense().astype(complex)
-    oracle = _e_occ_oracle(model, psi0, dt * np.arange(1, nsteps + 1))
 
-    mps = init
+INIT_MPS, MPO, E0 = _make_init()
+
+
+def _oracle(psi0, times, e0):
+    h = H_DENSE - e0 * np.eye(H_DENSE.shape[0])
+    res = []
+    for t in times:
+        psit = scipy.linalg.expm(-1j * h * t) @ psi0
+        res.append([np.real(psit.conj() @ o @ psit) for o in OCC_DENSE])
+    return np.array(res)
+
+
+def check_result(mps, mpo, time_step, final_time, atol=1e-4):
+    nsteps = round(final_time / time_step)
+    psi0 = INIT_MPS.todense().astype(complex)
+    oracle = _oracle(psi0, time_step * np.arange(1, nsteps + 1), E0)
     deviations = []
     for i in range(nsteps):
-        mps = mps.evolve(mpo, dt)
-        deviations.append(np.abs(mps.e_occupations - oracle[i]).mean())
-    # same criterion as the reference: mean cumulative deviation < 1e-4
-    assert np.mean(deviations) < 1e-4
+        mps = mps.evolve(mpo, time_step)
+        deviations.append(np.abs(np.array(mps.e_occupations) - oracle[i]).mean())
+    mcd = float(np.mean(deviations))
+    assert mcd < atol, f"mean cumulated deviation {mcd}"
+    return mps
+
+
+def test_pc():
+    mps = INIT_MPS.copy()
+    mps.compress_config = CompressConfig(CompressCriteria.fixed)
+    check_result(mps, MPO, 0.2, 2)
+
+
+def test_pc_adaptive():
+    mps = INIT_MPS.copy()
+    mps.compress_config = CompressConfig(CompressCriteria.fixed)
+    mps.evolve_config = EvolveConfig(EvolveMethod.prop_and_compress, adaptive=True, guess_dt=0.2)
+    check_result(mps, MPO, 1.0, 2)
+
+
+def test_pc_tdrk4():
+    mps = INIT_MPS.copy()
+    mps.compress_config = CompressConfig(CompressCriteria.fixed)
+    mps.evolve_config = EvolveConfig(EvolveMethod.prop_and_compress_tdrk4)
+    check_result(mps, MPO, 0.2, 2)
+
+
+def test_pc_tdrk():
+    mps = INIT_MPS.copy()
+    mps.compress_config = CompressConfig(CompressCriteria.fixed)
+    mps.evolve_config = EvolveConfig(EvolveMethod.prop_and_compress_tdrk)
+    check_result(mps, MPO, 0.2, 2)
+
+
+def test_tdvp_ps():
+    mps = INIT_MPS.copy()
+    mps.evolve_config = EvolveConfig(EvolveMethod.tdvp_ps)
+    check_result(mps, MPO, 0.2, 2)
+
+
+def test_tdvp_ps2():
+    mps = INIT_MPS.copy()
+    mps.evolve_config = EvolveConfig(EvolveMethod.tdvp_ps2)
+    # bond-adaptive truncation threshold tightened so the splitting error
+    # (not the truncation error) dominates
+    mps.compress_config = CompressConfig(threshold=1e-6)
+    check_result(mps, MPO, 0.2, 2)
+
+
+def test_tdvp_vmf():
+    mps = INIT_MPS.copy()
+    mps.evolve_config = EvolveConfig(
+        EvolveMethod.tdvp_mu_vmf, ivp_rtol=1e-4, ivp_atol=1e-7, force_ovlp=False
+    )
+    mps.evolve_config.vmf_auto_switch = False
+    check_result(mps, MPO, 1.0, 1)
+
+
+def test_tdvp_cmf():
+    mps = INIT_MPS.copy()
+    mps.evolve_config = EvolveConfig(EvolveMethod.tdvp_mu_cmf)
+    check_result(mps, MPO, 0.5, 1)
 
 
 def test_mpdm_evolve():
-    """Finite-temperature machinery: MpDm real-time evolution matches the
-    pure-state result when initialized from a pure state."""
-    model = exact_model()
-    mpo = Mpo(model)
-    init_mps = Mps.hartree_product_state(model, condition={0: 1})
-    mpdm = MpDm.from_mps(init_mps)
-    mpdm = mpdm.expand_bond_dimension(hint_mpo=mpo, include_ex=False)
+    """MpDm real-time evolution from a pure state matches pure-state
+    occupations."""
+    mpdm = MpDm.from_mps(INIT_MPS.copy())
+    mpdm = mpdm.expand_bond_dimension(hint_mpo=Mpo(model))
     mpdm.evolve_config = EvolveConfig(EvolveMethod.tdvp_ps)
-
-    psi0 = init_mps.todense().astype(complex)
-    nsteps, dt = 3, 4.0
-    oracle = _e_occ_oracle(model, psi0, dt * np.arange(1, nsteps + 1))
-    deviations = []
-    for i in range(nsteps):
-        mpdm = mpdm.evolve(mpo, dt)
-        deviations.append(np.abs(mpdm.e_occupations - oracle[i]).mean())
-    assert np.mean(deviations) < 1e-4
+    check_result(mpdm, MPO, 0.4, 1.2)
 
 
 def test_thermal_prop_exact():
-    """Imaginary-time exact propagation in GS space: the thermal state of
-    decoupled oscillators has analytic occupations."""
+    """Imaginary-time exact propagation in GS space: thermal occupation of a
+    decoupled oscillator is analytic."""
     from renormalizer_tpu.model import HolsteinModel, Mol, Phonon
-    from renormalizer_tpu.utils import Quantity
 
     omega = 0.01
     ph = Phonon.simple_phonon(Quantity(omega), Quantity(0), 10)
-    model = HolsteinModel([Mol(Quantity(0), [ph])] * 2, Quantity(0))
-    mpdm = MpDm.max_entangled_gs(model)
+    model2 = HolsteinModel([Mol(Quantity(0), [ph])] * 2, Quantity(0))
+    mpdm = MpDm.max_entangled_gs(model2)
     beta = 20.0
     tp = ThermalProp(mpdm, exact=True, space="GS")
     tp.evolve(evolve_dt=-0.5j * beta, nsteps=1)
