@@ -67,11 +67,15 @@ def _davidson_core(hop, x0, hdiag, tol, max_cycle, max_space):
     dtype = x0.dtype
 
     def body(st: _DavidsonState) -> _DavidsonState:
-        # subspace matrix with masked padding
+        # subspace matrix with masked padding.  The padding diagonal must be
+        # comfortably above the spectrum but NOT astronomically large: TPU's
+        # QDWH eigh normalizes by the matrix norm, so a 1e30 pad would wipe
+        # out all precision of the physical block.
         G = st.V.conj() @ st.W.T
         G = (G + G.conj().T) / 2
+        pad = jnp.sum(jnp.abs(G)) + 1.0
         mask = jnp.arange(S) >= st.size
-        G = G + jnp.diag(jnp.where(mask, _BIG, 0.0)).astype(G.dtype)
+        G = G + jnp.diag(jnp.where(mask, pad, 0.0)).astype(G.dtype)
         w_eig, c = jnp.linalg.eigh(G)
         c0 = c[:, 0]
         theta = w_eig[0].real
@@ -131,33 +135,44 @@ def davidson(
     )
 
 
+_OUT_OF_SECTOR = 1e10
+
+
 @lru_cache(maxsize=None)
 def _davidson_factory(formula: str, cshape: Tuple[int, ...], inverse: float,
                       tol: float, max_cycle: int, max_space: int):
-    dim = int(np.prod(cshape))
-
     @jax.jit
-    def fused(x0, hdiag, mask_idx, *operands):
-        hop_full = _einsum_hop(formula, operands, cshape)
+    def fused(x0_full, hdiag_full, mask, *operands):
+        hop_raw = _einsum_hop(formula, operands, cshape)
 
         def hop(x):
-            full = jnp.zeros(dim, dtype=x.dtype).at[mask_idx].set(x)
-            return hop_full(full)[mask_idx] * inverse
+            # keep the iteration inside the quantum-number sector; the
+            # full-space layout keeps shapes identical for every site and
+            # sweep (one XLA executable per tensor shape instead of one per
+            # sector size — the central recompilation-avoidance trick)
+            return jnp.where(mask, hop_raw(jnp.where(mask, x, 0)), 0) * inverse
 
+        hdiag = jnp.where(mask, hdiag_full * inverse, _OUT_OF_SECTOR)
+        x0 = jnp.where(mask, x0_full, 0)
         return _davidson_core(hop, x0, hdiag, tol, max_cycle, max_space)
 
     return fused
 
 
-def davidson_fused(formula, operands, cshape, x0, hdiag, mask_idx,
+def davidson_fused(formula, operands, cshape, x0_full, hdiag_full, mask,
                    inverse=1.0, tol=1e-10, max_cycle=100, max_space=12):
-    """Fully jitted qn-masked Davidson, cached per (formula, shape).
+    """Fully jitted qn-masked Davidson in the FULL local space, cached per
+    (formula, shape).
 
     ``operands`` are the environment/MPO tensors of the effective-H einsum;
-    ``mask_idx`` are the flat indices of the allowed quantum-number sector."""
+    ``mask`` is the flat boolean quantum-number mask.  The returned ritz
+    vector lives in the full space (zero outside the sector)."""
     fn = _davidson_factory(formula, tuple(cshape), float(inverse), float(tol),
                            int(max_cycle), int(max_space))
-    return fn(jnp.asarray(x0), jnp.asarray(hdiag), jnp.asarray(mask_idx), *operands)
+    return fn(
+        jnp.asarray(x0_full).ravel(), jnp.asarray(hdiag_full).ravel(),
+        jnp.asarray(mask).ravel(), *operands
+    )
 
 
 def davidson_multiroot(
@@ -192,8 +207,9 @@ def davidson_multiroot(
         V, W, size, thetas, X, rmax, it = carry
         G = V.conj() @ W.T
         G = (G + G.conj().T) / 2
+        pad = jnp.sum(jnp.abs(G)) + 1.0
         mask = jnp.arange(S) >= size
-        G = G + jnp.diag(jnp.where(mask, _BIG, 0.0)).astype(G.dtype)
+        G = G + jnp.diag(jnp.where(mask, pad, 0.0)).astype(G.dtype)
         w_eig, c = jnp.linalg.eigh(G)
         cs = c[:, :nroots]
         thetas = w_eig[:nroots].real

@@ -164,13 +164,16 @@ def single_sweep(mps, mpo, environ, omega, percent, last_opt_e_idx):
         use_direct = np.prod(cshape) < 1000 or mps.optimize_config.algo == "direct"
         if use_direct:
             e, c = eigh_direct(mps, qn_mask, ltensor, rtensor, cmo, omega)
+            cstruct = cvec2cmat(c, qn_mask, nroots=nroots)
         else:
+            # guesses live in the FULL local space (zeros outside the sector)
+            # so the fused Davidson compiles once per tensor shape
             if nroots == 1:
                 if method == "1site":
                     raw_guess = mps[cidx[0]]
                 else:
                     raw_guess = tensordot1(mps[cidx[0]], mps[cidx[1]])
-                cguess = [np.asarray(raw_guess)[qn_mask]]
+                cguess = [raw_guess]
             else:
                 cguess = []
                 for ms in averaged_ms:
@@ -180,20 +183,21 @@ def single_sweep(mps, mpo, environ, omega, percent, last_opt_e_idx):
                         raw_guess = tensordot1(ms, mps[cidx[1]])
                     else:
                         raw_guess = tensordot1(mps[cidx[0]], ms)
-                    cguess.append(np.asarray(raw_guess)[qn_mask])
-            guess_dim = int(np.sum(qn_mask))
+                    cguess.append(raw_guess)
             rng = np.random.default_rng(2021)
             cguess.extend(
-                [rng.random(guess_dim) - 0.5 for _ in range(len(cguess), nroots)]
+                [rng.random(qn_mask.size) - 0.5 for _ in range(len(cguess), nroots)]
             )
             e, c = eigh_iterative(mps, qn_mask, ltensor, rtensor, cmo, omega, cguess)
+            if nroots == 1:
+                cstruct = c.reshape(cshape)
+            else:
+                cstruct = [ci.reshape(cshape) for ci in c]
 
         if nroots > 1:
             e = list(e)
         logger.debug(f"energy: {e}")
         micro_iteration_result.append((e, cidx))
-
-        cstruct = cvec2cmat(c, qn_mask, nroots=nroots)
         if cidx == last_opt_e_idx:
             if nroots == 1:
                 res_mps = mps.copy()
@@ -261,11 +265,10 @@ def eigh_direct(mps, qn_mask, ltensor, rtensor, cmo, omega):
 
 
 def get_ham_iterative(mps, qn_mask, ltensor, rtensor, cmo, omega):
-    """Masked hdiag + matvec closure (reference ``gs.py:410-477``)."""
+    """Full-space hdiag + matvec closure (reference ``gs.py:410-477``)."""
     inverse = mps.optimize_config.inverse
     hdiag = hop_diag(ltensor, rtensor, cmo, twolayer=omega is not None)
-    idx = _mask_flat_idx(qn_mask)
-    hdiag = hdiag.ravel()[idx] * inverse
+    hdiag = hdiag.ravel() * inverse
     expr = hop_expr(ltensor, rtensor, cmo, qn_mask.shape, omega is not None)
     return hdiag, expr
 
@@ -291,14 +294,14 @@ def eigh_iterative(mps, qn_mask, ltensor, rtensor, cmo, omega, cguess):
     else:
         hdiag, expr = get_ham_iterative(mps, qn_mask, ltensor, rtensor, cmo, omega)
 
-    idx = _mask_flat_idx(qn_mask)
+    mask_flat = jnp.asarray(qn_mask.ravel())
     mask_shape = qn_mask.shape
-    dim = qn_mask.size
 
     def hop(x):
-        full = jnp.zeros(dim, dtype=x.dtype).at[idx].set(x)
-        out = expr(full.reshape(mask_shape)) * inverse
-        return out.ravel()[idx]
+        # full-space matvec restricted to the qn sector (StackedMpo path)
+        x = jnp.where(mask_flat, x, 0)
+        out = expr(x.reshape(mask_shape)) * inverse
+        return jnp.where(mask_flat, out.ravel(), 0)
 
     nroots = mps.optimize_config.nroots
     algo = mps.optimize_config.algo
@@ -316,14 +319,18 @@ def eigh_iterative(mps, qn_mask, ltensor, rtensor, cmo, omega, cguess):
             formula, operands = hop_spec(ltensor, rtensor, cmo, qn_mask.shape,
                                          omega is not None)
             e, c, niter = davidson_fused(
-                formula, operands, qn_mask.shape, jnp.asarray(cguess[0]), hdiag,
-                idx, inverse=inverse, tol=tol, max_cycle=100,
+                formula, operands, qn_mask.shape, cguess[0], hdiag,
+                qn_mask, inverse=inverse, tol=tol, max_cycle=100,
             )
         else:
-            e, c, niter = davidson(hop, jnp.asarray(cguess[0]), hdiag, tol=tol, max_cycle=100)
+            hdiag_eff = jnp.where(mask_flat, hdiag, 1e10)
+            x0 = jnp.where(mask_flat, jnp.asarray(cguess[0]).ravel(), 0)
+            e, c, niter = davidson(hop, x0, hdiag_eff, tol=tol, max_cycle=100)
         logger.debug(f"use davidson, HC hops: {int(niter)}")
         return float(np.asarray(e)), sign_fix(c, 1)
-    thetas, X, niter = davidson_multiroot(hop, cguess, hdiag, nroots, tol=max(tol, 1e-9), max_cycle=100)
+    hdiag_eff = jnp.where(mask_flat, hdiag, 1e10)
+    x0_list = [jnp.where(mask_flat, jnp.asarray(x).ravel(), 0) for x in cguess]
+    thetas, X, niter = davidson_multiroot(hop, x0_list, hdiag_eff, nroots, tol=max(tol, 1e-9), max_cycle=100)
     logger.debug(f"use block davidson, iterations: {int(niter)}")
     c = [X[i] for i in range(nroots)]
     return np.asarray(thetas), sign_fix(c, nroots)

@@ -9,6 +9,7 @@ static index lists used for device gathers.
 """
 
 import logging
+import os
 from collections import deque
 from functools import reduce
 from typing import Dict, List, Union
@@ -106,6 +107,14 @@ class Environ:
         return self._store[(domain, siteidx)]
 
 
+# Quantization granularity for per-sector retained counts.  DMRG sweeps
+# drift sector splits by a few states between sweeps; every distinct split is
+# a fresh set of XLA shapes (expensive remote compiles on tunneled TPUs).
+# Rounding each sector's count to a multiple of G collapses the shape set at
+# a negligible accuracy cost.  Applied only for reasonably large Mmax.
+SECTOR_QUANT = int(os.environ.get("RENO_SECTOR_QUANT", "8"))
+
+
 def select_basis(vset, sset, qnlist, compset, Mmax, percent=0):
     """Renormalized-basis selection of J. Chem. Phys. 120, 3172 (2004)
     (reference ``mps/lib.py:253-322``).
@@ -141,6 +150,21 @@ def select_basis(vset, sset, qnlist, compset, Mmax, percent=0):
     remaining = sorted(available.items(), key=lambda t: t[1][1], reverse=True)
     sidx += [i for i, _ in remaining[: nbasis - len(sidx)]]
     assert len(sidx) == len(set(sidx))
+
+    # quantize per-sector counts to stabilize downstream tensor shapes
+    G = SECTOR_QUANT
+    if G > 1 and Mmax >= 8 * G and len(sidx) >= 4 * G:
+        by_qn: Dict[tuple, List[int]] = {}
+        for i in sidx:
+            by_qn.setdefault(qnlist[i], []).append(i)
+        new_sidx: List[int] = []
+        for qn, idx_list in by_qn.items():
+            n = len(idx_list)
+            keep = (n // G) * G if n >= G else n
+            idx_list.sort(key=lambda i: sset[i], reverse=True)
+            new_sidx += idx_list[:keep]
+        if new_sidx:
+            sidx = new_sidx
 
     mpsdim = len(sidx)
     idx = jnp.asarray(np.array(sidx, dtype=int))

@@ -113,19 +113,24 @@ class Mps(MatrixProduct):
 
         for imps in range(model.nsite - 1):
             qnbig = add_outer(mps.qn[imps], mps._get_sigmaqn(imps)).reshape(-1, qn_size)
+            m_cap = m_max[imps + 1] if isinstance(m_max, (list, tuple, np.ndarray)) else m_max
             u_set, s_set, qnset = [], [], []
             for sector in set(tuple(t) for t in qnbig):
                 if np.all(np.array(qntot) < np.array(sector)):
                     continue
                 indices = [i for i, x in enumerate(qnbig) if tuple(x) == sector]
-                a = rng.random((len(indices), len(indices))) - 0.5
-                a = a + a.T
-                s, u = scipy.linalg.eigh(a)
-                full = np.zeros((len(qnbig), len(indices)))
+                # random orthonormal columns per sector: thin QR of a random
+                # gaussian block (O(n m^2)) instead of the reference's full
+                # eigh (O(n^3), ``mps.py:146-151``) — same distribution of
+                # selected subspaces, much faster at large bond dimension
+                ncols = min(len(indices), int(m_cap) + 8)
+                a = rng.standard_normal((len(indices), ncols))
+                u, _ = np.linalg.qr(a)
+                full = np.zeros((len(qnbig), ncols))
                 full[indices, :] = u
                 u_set.append(full)
-                s_set.append(s)
-                qnset += [sector] * len(indices)
+                s_set.append(rng.random(ncols))
+                qnset += [sector] * ncols
             u_set = np.concatenate(u_set, axis=1)
             s_set = np.concatenate(s_set)
             m_max2 = m_max[imps + 1] if isinstance(m_max, (list, tuple, np.ndarray)) else m_max

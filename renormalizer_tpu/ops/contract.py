@@ -214,6 +214,35 @@ def hop_dense(ltensor, rtensor, cmo, twolayer: bool = False):
     )
 
 
+# --- interleaved einsum over hashable index labels ------------------------
+# used by the tree tensor network engine where indices are identified by
+# (tree, parent-dofs, child-dofs) tuples rather than positional letters
+
+def einsum_interleaved(*args):
+    """``einsum_interleaved(t0, idx0, t1, idx1, ..., out_idx)`` where each
+    ``idx`` is a sequence of hashable labels.  Labels are mapped to einsum
+    symbols and the contraction runs through the jitted einsum cache."""
+    import opt_einsum
+
+    assert len(args) % 2 == 1
+    *pairs, out_indices = args
+    tensors = [jnp.asarray(t) for t in pairs[0::2]]
+    index_lists = pairs[1::2]
+    label_map = {}
+
+    def to_symbols(labels):
+        out = []
+        for lab in labels:
+            if lab not in label_map:
+                label_map[lab] = opt_einsum.get_symbol(len(label_map))
+            out.append(label_map[lab])
+        return "".join(out)
+
+    lhs = ",".join(to_symbols(labels) for labels in index_lists)
+    rhs = to_symbols(out_indices)
+    return einsum(lhs + "->" + rhs, *tensors)
+
+
 # --- misc jitted helpers --------------------------------------------------
 
 @jax.jit

@@ -66,7 +66,9 @@ def test_spectra_zerot():
 
 
 def test_spectra_exact_emi():
-    """Exact-propagator zero-T emission runs and produces |autocorr| <= 1."""
+    """Exact-propagator zero-T emission: |C(0)| equals the squared norm of
+    mu|gs> = 1 + 2 Re<a0^+ a1> (phonon-dressed coherence), and |C(t)| cannot
+    grow."""
     from renormalizer_tpu.spectra import SpectraExact
 
     ph = Phonon.simple_phonon(Quantity(1.0), Quantity(0.5), 4)
@@ -74,8 +76,22 @@ def test_spectra_exact_emi():
     job = SpectraExact(model, "emi")
     job.evolve(0.2, 5)
     assert len(job.autocorr) == 6
-    assert np.all(np.abs(job.autocorr) <= 1 + 1e-8)
-    assert np.isclose(abs(job.autocorr[0]), 1, atol=1e-6)
+    # oracle for C(0): <gs| mu^+ mu |gs> in the 1-exciton sector
+    h = dense_hamiltonian(model)
+    dims = model.pbond_list
+    qn = np.array([
+        sum(model.basis[i].sigmaqn[np.unravel_index(s, dims)[i]][0]
+            for i in range(len(dims)))
+        for s in range(h.shape[0])
+    ])
+    s1 = np.nonzero(qn == 1)[0]
+    w1, v1 = np.linalg.eigh(h[np.ix_(s1, s1)])
+    gs_vec = np.zeros(h.shape[0])
+    gs_vec[s1] = v1[:, 0]
+    mu = dense_hamiltonian(Model(model.basis, [Op("a", d, 1.0) for d in model.e_dofs]))
+    norm2 = np.linalg.norm(mu @ gs_vec) ** 2
+    assert np.isclose(abs(job.autocorr[0]), norm2, atol=1e-6)
+    assert np.all(np.abs(job.autocorr) <= abs(job.autocorr[0]) + 1e-8)
 
 
 def test_sbm_dynamics():
