@@ -81,6 +81,14 @@ class Backend:
         self._bits = _decide_dtype_bits()
         if self._bits == 64:
             jax.config.update("jax_enable_x64", True)
+        # TPU matmuls on f32 inputs default to bfloat16 passes, which is far
+        # too coarse for DMRG energies (the Rayleigh quotient picks up ~1e-3
+        # relative error).  Demand true f32 unless explicitly overridden.
+        matmul_prec = os.environ.get("RENO_MATMUL_PREC", "float32")
+        try:
+            jax.config.update("jax_default_matmul_precision", matmul_prec)
+        except Exception:  # pragma: no cover - unknown setting
+            pass
         _setup_compilation_cache()
         self.jax = jax
         self._seed = 2019

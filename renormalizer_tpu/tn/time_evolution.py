@@ -1,0 +1,243 @@
+r"""Time evolution of tree tensor network states.
+
+Reference ``renormalizer/tn/time_evolution.py:22-298``: TDVP-VMF (one global
+adaptive RK45 with regularized inverses), P&C-RK4, TDVP-PS (iterative
+stack-based forward/backward sweeps) and TDVP-PS2 (recursive 2-site).
+Registered in ``tn.tree.EVOLVE_METHODS``.
+"""
+
+import logging
+from math import factorial
+from typing import List, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.linalg
+
+from renormalizer_tpu.lib.solvers import expm_krylov, solve_ivp
+from renormalizer_tpu.mps.lib import compressed_sum
+from renormalizer_tpu.ops.contract import einsum
+from renormalizer_tpu.tn.hop_expr import hop_expr0, hop_expr1, hop_expr2
+from renormalizer_tpu.tn.node import TreeNodeTensor
+from renormalizer_tpu.tn.tree import EVOLVE_METHODS, TTNEnviron, TTNO, TTNS
+from renormalizer_tpu.utils.configs import EvolveMethod
+
+logger = logging.getLogger(__name__)
+
+
+def regularized_inversion(m, eps):
+    w, u = scipy.linalg.eigh(np.asarray(m))
+    w = w + eps * np.exp(-w / eps)
+    return u @ np.diag(1 / w) @ u.T.conj()
+
+
+def time_derivative_vmf(ttns: TTNS, ttno: TTNO):
+    """Tangent-space derivative of all nodes for VMF evolution
+    (reference ``tn/time_evolution.py:22-47``)."""
+    environ_s = TTNEnviron(ttns, TTNO.dummy(ttns.basis))
+    environ_h = TTNEnviron(ttns, ttno)
+
+    deriv_list = []
+    for inode, node in enumerate(ttns.node_list):
+        hop = hop_expr1(node, ttns, ttno, environ_h)
+        dim_parent = node.shape[-1]
+        tensor = node.tensor
+        shape_2d = (-1, dim_parent)
+        deriv = hop(tensor).reshape(shape_2d)
+        if node.parent is not None:
+            tensor2d = tensor.reshape(shape_2d)
+            proj = tensor2d.conj() @ tensor2d.T
+            ovlp = environ_s.node_list[inode].environ_parent.reshape(dim_parent, dim_parent)
+            ovlp_inv = regularized_inversion(ovlp, ttns.evolve_config.reg_epsilon)
+            deriv = einsum(
+                "bf,bg,fh->gh",
+                deriv,
+                jnp.eye(proj.shape[0], dtype=proj.dtype) - proj,
+                jnp.asarray(ovlp_inv.T),
+            )
+        qnmask = ttns.get_qnmask(node).reshape(deriv.shape)
+        deriv_list.append(np.asarray(deriv)[qnmask].ravel())
+    return np.concatenate(deriv_list)
+
+
+def evolve_tdvp_vmf(ttns: TTNS, ttno: TTNO, coeff, tau: float, first_step=None):
+    def ivp_func(t, params):
+        ttns_t = TTNS.from_tensors(ttns, params)
+        return coeff * time_derivative_vmf(ttns_t, ttno)
+
+    init_y = np.concatenate(
+        [np.asarray(node.tensor)[ttns.get_qnmask(node)].ravel() for node in ttns.node_list]
+    )
+    sol = solve_ivp(
+        ivp_func, (0, tau), init_y, first_step=first_step,
+        atol=ttns.evolve_config.ivp_atol, rtol=ttns.evolve_config.ivp_rtol,
+    )
+    logger.info(f"VMF func called: {sol.nfev}. RKF steps: {sol.nsteps}")
+    new_ttns = TTNS.from_tensors(ttns, np.asarray(sol.y))
+    new_ttns.canonicalise()
+    return new_ttns
+
+
+def evolve_prop_and_compress_tdrk4(ttns: TTNS, ttno: TTNO, coeff, tau: float):
+    termlist = [ttns]
+    for _ in range(4):
+        termlist.append(ttno.contract(termlist[-1]))
+    for i, term in enumerate(termlist):
+        term.scale((coeff * tau) ** i / factorial(i), inplace=True)
+    return compressed_sum(termlist)
+
+
+# --- projector splitting ---------------------------------------------------
+
+def evolve_1site(snode, ttns, ttno, ttne, coeff, tau):
+    ms = snode.tensor
+    hop = hop_expr1(snode, ttns, ttno, ttne)
+    return expm_krylov(
+        lambda y: hop(y.reshape(ms.shape)).ravel(), coeff * tau, ms.ravel()
+    )
+
+
+def evolve_2site(snode, ttns, ttno, ttne, coeff, tau):
+    ms2 = ttns.merge_with_parent(snode)
+    hop, _ = hop_expr2(snode, ttns, ttno, ttne)
+    return expm_krylov(
+        lambda y: hop(y.reshape(ms2.shape)).ravel(), coeff * tau, ms2.ravel()
+    )
+
+
+def evolve_0site(ms, snode, ttns, ttno, ttne, coeff, tau):
+    hop = hop_expr0(snode, ttns, ttno, ttne)
+    return expm_krylov(
+        lambda y: hop(y.reshape(ms.shape)).ravel(), coeff * tau, jnp.asarray(ms).ravel()
+    )
+
+
+def evolve_tdvp_ps(ttns: TTNS, ttno: TTNO, coeff, tau: float):
+    """Second-order one-site projector splitting
+    (reference ``tn/time_evolution.py:79-174``)."""
+    ttns.check_canonical()
+    ttne = TTNEnviron(ttns, ttno)
+    _tdvp_ps_forward(ttns, ttno, ttne, coeff, tau / 2)
+    _tdvp_ps_backward(ttns, ttno, ttne, coeff, tau / 2)
+    return ttns
+
+
+def _tdvp_ps_forward(ttns, ttno, ttne, coeff, tau) -> List[int]:
+    local_steps: List[int] = []
+    stack: List[Tuple[TreeNodeTensor, int]] = [(ttns.root, -1)]
+    while stack:
+        snode, ichild = stack[-1]
+        if (not snode.children) or (ichild == len(snode.children) - 1):
+            ms, j = evolve_1site(snode, ttns, ttno, ttne, coeff, tau)
+            snode.tensor = ms.reshape(snode.shape)
+            local_steps.append(int(j))
+            if snode.parent is None:
+                assert len(stack) == 1
+                stack.pop()
+                continue
+            # decompose: first index parent side, second index child side
+            ms = ttns.decompose_to_parent(snode)
+            ttne.build_children_environ_node(snode, ttns, ttno)
+            ms_t, j = evolve_0site(ms.T, snode, ttns, ttno, ttne, coeff, -tau)
+            ttns.merge_to_parent(snode, ms_t.reshape(ms.T.shape).T)
+            local_steps.append(int(j))
+            stack.pop()
+            continue
+        ichild += 1
+        child = snode.children[ichild]
+        ttns.push_cano_to_child(snode, ichild)
+        ttne.build_parent_environ_node(snode, ichild, ttns, ttno)
+        stack[-1] = (snode, ichild)
+        stack.append((child, -1))
+    return local_steps
+
+
+def _tdvp_ps_backward(ttns, ttno, ttne, coeff, tau) -> List[int]:
+    local_steps: List[int] = []
+    stack: List[Tuple[TreeNodeTensor, int]] = [(ttns.root, -1)]
+    while stack:
+        snode, ichild = stack[-1]
+        if ichild == -1:
+            ms, j = evolve_1site(snode, ttns, ttno, ttne, coeff, tau)
+            snode.tensor = ms.reshape(snode.shape)
+            local_steps.append(int(j))
+        if ichild == len(snode.children) - 1:
+            if snode is not ttns.root:
+                ttns.push_cano_to_parent(snode)
+                ttne.build_children_environ_node(snode, ttns, ttno)
+            stack.pop()
+            continue
+        ichild += 1
+        child = snode.children[ichild]
+        ms = ttns.decompose_to_child(snode, ichild)
+        ttne.build_parent_environ_node(snode, ichild, ttns, ttno)
+        shape = ms.shape
+        ms, j = evolve_0site(ms, child, ttns, ttno, ttne, coeff, -tau)
+        ttns.merge_to_child(snode, ichild, ms.reshape(shape))
+        local_steps.append(int(j))
+        stack[-1] = (snode, ichild)
+        stack.append((child, -1))
+    return local_steps
+
+
+def evolve_tdvp_ps2(ttns: TTNS, ttno: TTNO, coeff, tau: float):
+    """Second-order two-site projector splitting
+    (reference ``tn/time_evolution.py:177-259``)."""
+    ttns.check_canonical()
+    ttne = TTNEnviron(ttns, ttno)
+    _tdvp_ps2_recursion_forward(ttns.root, ttns, ttno, ttne, coeff, tau / 2)
+    _tdvp_ps2_recursion_backward(ttns.root, ttns, ttno, ttne, coeff, tau / 2)
+    return ttns
+
+
+def _tdvp_ps2_recursion_forward(snode, ttns, ttno, ttne, coeff, tau) -> List[int]:
+    """Evolve all of snode's children bonds (canonical center at snode on
+    entry and exit)."""
+    assert snode.children
+    local_steps: List[int] = []
+    for ichild, child in enumerate(snode.children):
+        if child.children:
+            ttns.push_cano_to_child(snode, ichild)
+            ttne.update_1bond(child, ttns, ttno)
+            local_steps.extend(
+                _tdvp_ps2_recursion_forward(child, ttns, ttno, ttne, coeff, tau)
+            )
+        ms2, j = evolve_2site(child, ttns, ttno, ttne, coeff, tau)
+        local_steps.append(int(j))
+        ttns.update_2site(child, ms2.reshape(-1), cano_parent=True)
+        ttne.update_2site(child, ttns, ttno)
+        if snode is ttns.root and ichild == len(snode.children) - 1:
+            continue
+        ms, j = evolve_1site(snode, ttns, ttno, ttne, coeff, -tau)
+        snode.tensor = ms.reshape(snode.shape)
+        local_steps.append(int(j))
+        ttne.update_1site(snode, ttns, ttno)
+    return local_steps
+
+
+def _tdvp_ps2_recursion_backward(snode, ttns, ttno, ttne, coeff, tau) -> List[int]:
+    assert snode.children
+    local_steps: List[int] = []
+    for ichild, child in reversed(list(enumerate(snode.children))):
+        if not (snode is ttns.root and ichild == len(snode.children) - 1):
+            ms, j = evolve_1site(snode, ttns, ttno, ttne, coeff, -tau)
+            snode.tensor = ms.reshape(snode.shape)
+            local_steps.append(int(j))
+            ttne.update_1site(snode, ttns, ttno)
+        ms2, j = evolve_2site(child, ttns, ttno, ttne, coeff, tau)
+        local_steps.append(int(j))
+        ttns.update_2site(child, ms2.reshape(-1), cano_parent=not child.children)
+        ttne.update_2site(child, ttns, ttno)
+        if child.children:
+            local_steps.extend(
+                _tdvp_ps2_recursion_backward(child, ttns, ttno, ttne, coeff, tau)
+            )
+            ttns.push_cano_to_parent(child)
+            ttne.update_1bond(child, ttns, ttno)
+    return local_steps
+
+
+EVOLVE_METHODS[EvolveMethod.tdvp_vmf] = evolve_tdvp_vmf
+EVOLVE_METHODS[EvolveMethod.prop_and_compress_tdrk4] = evolve_prop_and_compress_tdrk4
+EVOLVE_METHODS[EvolveMethod.tdvp_ps] = evolve_tdvp_ps
+EVOLVE_METHODS[EvolveMethod.tdvp_ps2] = evolve_tdvp_ps2

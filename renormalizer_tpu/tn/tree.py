@@ -321,7 +321,7 @@ class TTNS(TTNBase):
             if condition is None:
                 condition = {}
             basis_list = basis.basis_list_postorder
-            mps = Mps.hartree_product_state(Model(basis_list, []), condition)
+            mps = Mps.hartree_product_state(Model(basis_list, []), condition, qn_idx=len(basis_list))
             site_qn = [mps.qn[i + 1] - mps.qn[i] for i in range(len(mps))]
             node_list_state = []
             for node_basis in basis.node_list:

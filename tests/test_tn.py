@@ -1,0 +1,167 @@
+"""Tree tensor network tests: cross-checks against MPS/MPO and dense oracles
+(mirrors ``renormalizer/tn/tests/test_tn.py`` strategy)."""
+
+import numpy as np
+import pytest
+
+from fixtures import dense_hamiltonian, exact_model
+
+from renormalizer_tpu import BasisHalfSpin, Model, Mpo, Mps, Op, Quantity
+from renormalizer_tpu.model import heisenberg_ops
+from renormalizer_tpu.tn import BasisTree, TTNO, TTNS, TTNEnviron, from_mps, optimize_ttns
+from renormalizer_tpu.utils import EvolveConfig, EvolveMethod
+
+
+def heisenberg_model(nspin=4):
+    return Model([BasisHalfSpin(i) for i in range(nspin)], heisenberg_ops(nspin))
+
+
+@pytest.mark.parametrize("tree_kind", ["linear", "binary"])
+def test_ttno_dense_vs_mpo(tree_kind):
+    model = heisenberg_model(4)
+    mpo = Mpo(model)
+    basis_tree = getattr(BasisTree, tree_kind)(model.basis)
+    ttno = TTNO(basis_tree, model.ham_terms)
+    dense_ttno = ttno.todense(order=model.basis)
+    assert np.allclose(dense_ttno, mpo.todense(), atol=1e-10)
+
+
+def test_ttno_mctdh_tree():
+    model = heisenberg_model(4)
+    basis_tree = BasisTree.binary_mctdh(model.basis)
+    ttno = TTNO(basis_tree, model.ham_terms)
+    assert np.allclose(
+        ttno.todense(order=model.basis), dense_hamiltonian(model), atol=1e-10
+    )
+
+
+def test_ttns_hartree_and_expectation():
+    model = heisenberg_model(4)
+    basis_tree = BasisTree.binary(model.basis)
+    ttns = TTNS(basis_tree, condition={0: 1, 2: 1})
+    # dense check of one- and two-site expectations
+    for op in [Op("Z", 0), Op("Z", 1), Op("Z Z", [0, 2])]:
+        ttno = TTNO(basis_tree, [op])
+        val = ttns.expectation(ttno)
+        dense_op = dense_hamiltonian(Model(model.basis, [op]))
+        dense_state = np.zeros(2 ** 4)
+        # |1 0 1 0> in site-major ordering
+        idx = np.ravel_multi_index((1, 0, 1, 0), (2, 2, 2, 2))
+        dense_state[idx] = 1
+        assert np.isclose(val, dense_state @ dense_op @ dense_state)
+
+
+def test_ttns_random_canonical():
+    model = exact_model()
+    basis_tree = BasisTree.binary(model.basis)
+    ttns = TTNS.random(basis_tree, 1, 8)
+    assert ttns.is_canonical()
+    assert np.isclose(ttns.ttns_norm, 1)
+
+
+def test_from_mps_round_trip():
+    model = exact_model()
+    mps = Mps.random(model, 1, 8)
+    basis, ttns, ttno = from_mps(mps)
+    # expectation parity between the two engines
+    e_mps = mps.expectation(Mpo(model))
+    e_ttns = ttns.expectation(ttno)
+    assert np.isclose(e_mps, e_ttns, atol=1e-8)
+
+
+def test_ttns_canonicalise_preserves_state():
+    model = heisenberg_model(4)
+    basis_tree = BasisTree.binary(model.basis)
+    ttns = TTNS.random(basis_tree, 0, 8)
+    dense0 = ttns.todense(order=model.basis)
+    ttns.push_cano_to_child(ttns.root, 0)
+    dense1 = ttns.todense(order=model.basis)
+    assert np.allclose(dense0, dense1, atol=1e-10)
+    ttns.push_cano_to_parent(ttns.root.children[0])
+    assert np.allclose(ttns.todense(order=model.basis), dense0, atol=1e-10)
+
+
+def test_ttno_apply_and_compress():
+    model = heisenberg_model(4)
+    basis_tree = BasisTree.binary(model.basis)
+    ttno = TTNO(basis_tree, model.ham_terms)
+    ttns = TTNS.random(basis_tree, 0, 8)
+    dense_state = ttns.todense(order=model.basis).ravel()
+    h = dense_hamiltonian(model)
+    applied = ttno.apply(ttns)
+    assert np.allclose(
+        applied.todense(order=model.basis).ravel(), h @ dense_state, atol=1e-8
+    )
+    applied.canonicalise()
+    applied.compress(temp_m_trunc=100)
+    assert np.allclose(
+        applied.todense(order=model.basis).ravel(), h @ dense_state, atol=1e-8
+    )
+
+
+@pytest.mark.parametrize("tree_kind", ["linear", "binary"])
+def test_optimize_ttns(tree_kind):
+    """Tree DMRG ground state vs dense sector diagonalization."""
+    model = exact_model()
+    h = dense_hamiltonian(model)
+    dims = model.pbond_list
+    qn = np.array([
+        sum(model.basis[i].sigmaqn[np.unravel_index(s, dims)[i]][0]
+            for i in range(len(dims)))
+        for s in range(h.shape[0])
+    ])
+    sector = np.nonzero(qn == 1)[0]
+    e_exact = np.linalg.eigvalsh(h[np.ix_(sector, sector)])[0]
+
+    basis_tree = getattr(BasisTree, tree_kind)(model.basis)
+    ttns = TTNS.random(basis_tree, 1, 16)
+    procedure = [[16, 0.4], [16, 0.2], [16, 0], [16, 0]]
+    e_list = optimize_ttns(ttns, TTNO(basis_tree, model.ham_terms), procedure)
+    assert np.isclose(min(min(e) for e in [e_list]), e_exact, atol=1e-7) or np.isclose(
+        min(e_list), e_exact, atol=1e-7
+    )
+
+
+def test_ttns_evolve_tdvp_ps():
+    """Tree TDVP-PS vs dense expm on the tiny Holstein model."""
+    import scipy.linalg
+
+    model = exact_model()
+    basis_tree = BasisTree.binary(model.basis)
+    ttno = TTNO(basis_tree, model.ham_terms)
+    # initial state: electron on dof 0
+    ttns = TTNS(basis_tree, condition={0: 1})
+    ttns = ttns.expand_bond_dimension(ttno)
+    ttns.evolve_config = EvolveConfig(EvolveMethod.tdvp_ps)
+    psi0 = ttns.todense(order=model.basis).ravel().astype(complex)
+    h = dense_hamiltonian(model)
+
+    occ_ops = [
+        dense_hamiltonian(Model(model.basis, [Op(r"a^\dagger a", dof)]))
+        for dof in model.e_dofs
+    ]
+    occ_ttnos = [TTNO(basis_tree, [Op(r"a^\dagger a", dof)]) for dof in model.e_dofs]
+
+    dt, nsteps = 0.2, 5
+    devs = []
+    for i in range(1, nsteps + 1):
+        ttns = ttns.evolve(ttno, dt)
+        psit = scipy.linalg.expm(-1j * h * dt * i) @ psi0
+        occ_oracle = [np.real(psit.conj() @ o @ psit) for o in occ_ops]
+        occ = [ttns.expectation(o) for o in occ_ttnos]
+        devs.append(np.abs(np.array(occ) - occ_oracle).mean())
+    assert np.mean(devs) < 1e-4
+
+
+def test_ttns_add():
+    model = heisenberg_model(4)
+    basis_tree = BasisTree.binary(model.basis)
+    a = TTNS.random(basis_tree, 0, 4)
+    b = TTNS.random(basis_tree, 0, 4)
+    # different random states: regenerate b by evolving... simply scale
+    b = b.scale(0.7)
+    s = a.add(b)
+    assert np.allclose(
+        s.todense(order=model.basis), a.todense(order=model.basis) + b.todense(order=model.basis),
+        atol=1e-10,
+    )
