@@ -82,31 +82,91 @@ class TDA:
             mps_r_cano = mps.copy()
             assert mps.to_right
 
+            # Build the tangent space block-wise per quantum number so that
+            # every tangent vector carries a definite qn.  A plain full SVD
+            # returns an arbitrary basis of the null space that mixes
+            # symmetry sectors, letting Davidson collapse onto lower states
+            # of *other* sectors (e.g. the 2-exciton ground state when
+            # targeting 1-exciton excitations).
+            qn_size = np.asarray(mps.qntot).size
+            qntot = np.asarray(mps.qntot).reshape(qn_size)
+
+            def _cum_labels(mp, bond):
+                """Cumulative-left qn labels of a bond regardless of qnidx."""
+                q = np.asarray(mp.qn[bond]).reshape(-1, qn_size)
+                if bond > mp.qnidx:
+                    q = qntot[None, :] - q
+                return q
+
             tangent_u = []
+            tangent_q = []
+            cum_left = np.zeros((1, qn_size), dtype=int)
             for ims in range(len(mps)):
                 shape = list(mps[ims].shape)
                 mat = np.asarray(mps[ims]).reshape(-1, shape[-1])
-                u, s, vt = np.linalg.svd(mat, full_matrices=True)
-                rank = len(s)
-                if include_psi0 and ims == site_num - 1:
-                    tangent_u.append(u.reshape(shape[:-1] + [-1]))
-                else:
-                    if rank < u.shape[1]:
-                        tangent_u.append(u[:, rank:].reshape(shape[:-1] + [-1]))
-                    else:
-                        tangent_u.append(None)  # no tangent space at this site
-                mps[ims] = u[:, :rank].reshape(shape[:-1] + [-1])
-                vt = s[:, None] * vt
+                nrow, ncol = mat.shape
+                sigq = np.asarray(self.model.basis[ims].sigmaqn).reshape(-1, qn_size)
+                q_row = (cum_left[:, None, :] + sigq[None, :, :]).reshape(nrow, qn_size)
                 if ims == site_num - 1:
-                    assert vt.size == 1 and np.allclose(vt, 1)
+                    q_col = np.broadcast_to(qntot[None, :], (ncol, qn_size))
                 else:
+                    q_col = _cum_labels(mps_r_cano, ims + 1)
+                u_occ = np.zeros((nrow, ncol), dtype=mat.dtype)
+                tang_cols = []
+                tang_labels = []
+                for q in np.unique(np.concatenate([q_row, q_col]), axis=0):
+                    rows = np.nonzero((q_row == q).all(axis=-1))[0]
+                    cols = np.nonzero((q_col == q).all(axis=-1))[0]
+                    assert len(rows) >= len(cols), "bond sector larger than row sector"
+                    if len(rows) == 0:
+                        continue
+                    sub = mat[np.ix_(rows, cols)]
+                    uq = np.linalg.svd(sub, full_matrices=True)[0]
+                    if len(cols):
+                        u_occ[np.ix_(rows, cols)] = uq[:, : len(cols)]
+                    if len(rows) > len(cols):
+                        t = np.zeros((nrow, len(rows) - len(cols)), dtype=mat.dtype)
+                        t[rows] = uq[:, len(cols):]
+                        tang_cols.append(t)
+                        tang_labels.extend([q] * (len(rows) - len(cols)))
+                vt = u_occ.T.conj() @ mat
+                if ims == site_num - 1:
+                    assert vt.size == 1
+                    if vt.reshape(-1)[0].real < 0:
+                        u_occ, vt = -u_occ, -vt
+                    assert np.allclose(vt, 1)
+                    if include_psi0:
+                        tang_cols = [u_occ] + tang_cols
+                        tang_labels = list(q_col) + tang_labels
+                if tang_cols:
+                    tangent_u.append(
+                        np.concatenate(tang_cols, axis=1).reshape(shape[:-1] + [-1])
+                    )
+                    tangent_q.append(np.array(tang_labels).reshape(-1, qn_size))
+                else:
+                    tangent_u.append(None)  # no tangent space at this site
+                    tangent_q.append(None)
+                mps[ims] = u_occ.reshape(shape[:-1] + [-1])
+                if ims != site_num - 1:
                     mps[ims + 1] = np.tensordot(vt, np.asarray(mps[ims + 1]), axes=(-1, 0))
+                cum_left = q_col
             mps_l_cano = mps.copy()
             mps_l_cano.to_right = False
             mps_l_cano.qnidx = site_num - 1
+            self.tangent_q = tangent_q
             cguess = None
         else:
             mps_l_cano, mps_r_cano, tangent_u, tda_coeff_list = self.wfn
+            qn_size = np.asarray(mps_r_cano.qntot).size
+            qntot = np.asarray(mps_r_cano.qntot).reshape(qn_size)
+            tangent_q = getattr(self, "tangent_q", [None] * site_num)
+
+            def _cum_labels(mp, bond):
+                q = np.asarray(mp.qn[bond]).reshape(-1, qn_size)
+                if bond > mp.qnidx:
+                    q = qntot[None, :] - q
+                return q
+
             cguess = []
             for tda_coeff in tda_coeff_list:
                 x = [c.flatten() for c in tda_coeff if c is not None]
@@ -125,6 +185,27 @@ class TDA:
                     xshape.append((tangent_u[ims].shape[-1], mps_r_cano[ims + 1].shape[0]))
                 xsize += int(np.prod(xshape[-1]))
         logger.debug(f"DMRG-TDA H dimension: {xsize}")
+
+        # qn-conservation mask over the coefficients: a tangent column with
+        # cumulative qn q joined to the right-canonical tail at bond r'
+        # yields total qn q + (qntot - cum[r']), so only q == cum[r'] keeps
+        # the excitation inside the target symmetry sector.
+        cmask_parts = []
+        for ims in range(site_num):
+            if tangent_u[ims] is None:
+                continue
+            if tangent_q[ims] is None:
+                # restart from dumped wfn without labels: no masking
+                cmask_parts.append(np.ones(xshape[ims], dtype=bool))
+                continue
+            if ims == site_num - 1:
+                q_r = qntot[None, :]
+            else:
+                q_r = _cum_labels(mps_r_cano, ims + 1)
+            q_t = tangent_q[ims]
+            cmask_parts.append((q_t[:, None, :] == q_r[None, :, :]).all(axis=-1))
+        cmask = np.concatenate([m.ravel() for m in cmask_parts])
+        assert cmask.size == xsize
 
         # hdiag from the sandwich contraction per site
         mps_tangent = mps_r_cano.copy()
@@ -161,7 +242,7 @@ class TDA:
             nonlocal count
             count += 1
             assert len(x) == xsize
-            tda_coeff = reshape_x(x)
+            tda_coeff = reshape_x(np.where(cmask, x, 0.0))
             res = [
                 np.zeros_like(c) if c is not None else None for c in tda_coeff
             ]
@@ -195,13 +276,22 @@ class TDA:
                             )
                         )
                     mps_tangent_conj[ims_conj] = mps_l_cano[ims_conj]
-            return np.concatenate([m.ravel() for m in res if m is not None])
+            return np.concatenate([m.ravel() for m in res if m is not None]) * cmask
 
         if self.algo != "davidson":
             raise NotImplementedError(f"TDA algo {self.algo} not available")
+        hdiag = np.where(cmask, hdiag, 1e10)
         if cguess is None:
+            # seed with unit vectors on the lowest diagonal entries: a purely
+            # random guess cannot amplify an (almost) decoupled eigenvector,
+            # e.g. psi0 itself when include_psi0 is set
             rng = np.random.default_rng(2021)
-            cguess = [rng.random(xsize) - 0.5]
+            order = np.argsort(hdiag)
+            cguess = []
+            for k in range(min(nroots, int(cmask.sum()))):
+                g = 1e-4 * (rng.random(xsize) - 0.5) * cmask
+                g[order[k]] = 1.0
+                cguess.append(g)
         precond = lambda r, e_val: r / (hdiag - e_val + 1e-4)
         e, c = davidson_host(hop, cguess, precond, nroots=nroots, max_cycle=100)
         if nroots == 1:

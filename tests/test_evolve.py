@@ -149,5 +149,8 @@ def test_thermal_prop_exact():
     tp.evolve(evolve_dt=-0.5j * beta, nsteps=1)
     thermal = tp.latest_mps
     occ = thermal.ph_occupations
-    n_exact = 1 / (np.exp(beta * omega) - 1)
+    # truncated-oscillator thermal occupation (pdim=10 levels)
+    n = np.arange(10)
+    w = np.exp(-beta * omega * n)
+    n_exact = (n * w).sum() / w.sum()
     assert np.allclose(occ, n_exact, atol=1e-4)
