@@ -61,8 +61,20 @@ def _setup_compilation_cache():
         "RENO_COMPILE_CACHE", os.path.expanduser("~/.cache/renormalizer_tpu_xla")
     )
     # CPU AOT cache entries are machine-feature sensitive and can SIGILL
-    # when reloaded; only cache for accelerator backends
-    if jax.default_backend() == "cpu":
+    # when reloaded; only cache for accelerator backends.  Device plugins
+    # behind network tunnels can be transiently unavailable at import time;
+    # retry once before giving up on the cache (compute retries later).
+    try:
+        default = jax.default_backend()
+    except RuntimeError:
+        import time
+
+        time.sleep(5)
+        try:
+            default = jax.default_backend()
+        except RuntimeError:
+            return
+    if default == "cpu":
         return
     if cache_dir and cache_dir.lower() != "off":
         try:

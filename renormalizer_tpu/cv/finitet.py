@@ -1,0 +1,313 @@
+r"""Finite-temperature DDMRG absorption/emission spectra.
+
+The correction vector is a density-operator-like matrix product (4-leg site
+tensors) solving, in Liouville space,
+
+    [ (omega - L)^2 + eta^2 ] |X> = -eta mu rho(beta/2),    L X = H X - X H
+
+Expanding with A = omega*I - H acting on the up (ket) physical leg and H on
+the down leg (they commute):
+
+    (A_up^2 + 2 A_up H_down + H_down^2 + eta^2) X = b
+
+TPU design: the per-site conjugate-gradient solve is one fused jitted
+``jax.scipy.sparse.linalg.cg`` over three cached einsum formulas (A.A.X,
+A.X.H, X.H.H) with a boolean quantum-number mask — no host round-trips
+inside the solve.  Quantum numbers are 2-component (bra, ket) pairs so the
+X = |1><0| (abs) / |0><1| (emi) sector restriction reuses the generic
+``svd_qn`` machinery.  Reference ``renormalizer/cv/finitet.py:30-716``.
+"""
+
+import itertools
+import logging
+import os
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from renormalizer_tpu.cv.spectra_cv import SpectraCv
+from renormalizer_tpu.mps import Mpo, MpDm, ThermalProp
+from renormalizer_tpu.mps.lib import cvec2cmat
+from renormalizer_tpu.mps.svd_qn import get_qn_mask
+from renormalizer_tpu.mps.thermalprop import load_thermal_state
+from renormalizer_tpu.ops.contract import einsum
+from renormalizer_tpu.utils import CompressConfig, CompressCriteria, EvolveConfig
+
+logger = logging.getLogger(__name__)
+
+# local operator, X in the middle (see module docstring for the leg naming)
+_F1 = "pijq,iumk,jmnl,qndt,sklt->puds"  # A_up^2 X
+_F2 = "pijq,iumk,qmnt,jndl,sklt->puds"  # A_up X H_down
+_F3 = "pijq,qumt,imnk,jndl,sklt->puds"  # X H_down^2
+# environment updates (conj(X), ops, X) from the left; the right versions are
+# obtained by transposing the bond legs in the same formulas
+_E1_L = "pijq,pudw,iumx,jmny,qndz->wxyz"
+_E2_L = "pijq,pudw,iumx,qmnz,jndy->wxyz"
+_E3_L = "pijq,pudw,qumz,imnx,jndy->wxyz"
+_EB_L = "pq,pudw,qudz->wz"
+
+
+class CvMpDm(MpDm):
+    """Correction-vector matrix product operator with 2-component
+    (bra, ket) quantum numbers per bond."""
+
+    def _get_sigmaqn(self, idx):
+        qn = np.asarray(self.model.basis[idx].sigmaqn).ravel()
+        pairs = np.array(list(itertools.product(qn, repeat=2)), dtype=int)
+        return pairs.reshape(len(qn), len(qn), 2)
+
+
+@lru_cache(maxsize=None)
+def _ft_cg_factory(cshape, eta: float, tol: float):
+    dim = int(np.prod(cshape))
+
+    @jax.jit
+    def solve(x0, b, prediag, mask_idx, l1, r1, l2, r2, l3, r3, a, h):
+        def matvec(x):
+            full = jnp.zeros(dim, dtype=x.dtype).at[mask_idx].set(x)
+            full = full.reshape(cshape)
+            m1 = jnp.einsum(_F1, l1, a, a, full, r1, optimize="optimal")
+            m2 = jnp.einsum(_F2, l2, a, full, h, r2, optimize="optimal")
+            m3 = jnp.einsum(_F3, l3, full, h, h, r3, optimize="optimal")
+            out = (m1 + 2.0 * m2 + m3).ravel()[mask_idx]
+            return out + eta ** 2 * x
+
+        x, _ = jax.scipy.sparse.linalg.cg(
+            matvec, b, x0=x0, tol=tol, M=lambda v: v / prediag, maxiter=500
+        )
+        l_value = x @ matvec(x) - 2.0 * (b @ x)
+        return x, l_value
+
+    return solve
+
+
+class SpectraFtCV(SpectraCv):
+    r"""Finite-temperature DDMRG spectrum.
+
+    Args beyond :class:`SpectraCv`: ``temperature`` (Quantity),
+    ``insteps`` (imaginary-time steps, required for emission),
+    ``ievolve_config``/``icompress_config`` for the thermal propagation,
+    ``dump_dir``/``job_name`` to checkpoint / reuse the thermal state.
+    Reference ``renormalizer/cv/finitet.py:30-153``.
+    """
+
+    def __init__(
+        self,
+        model,
+        spectratype,
+        m_max,
+        eta,
+        temperature,
+        h_mpo=None,
+        method="1site",
+        procedure_cv=None,
+        rtol=1e-5,
+        b_mps=None,
+        cv_mps=None,
+        icompress_config=None,
+        ievolve_config=None,
+        insteps=None,
+        dump_dir: str = None,
+        job_name=None,
+    ):
+        self.temperature = temperature
+        self.evolve_config = ievolve_config or EvolveConfig()
+        self.compress_config = icompress_config
+        if self.compress_config is None:
+            self.compress_config = CompressConfig(
+                CompressCriteria.fixed, max_bonddim=m_max
+            )
+            self.compress_config.set_bonddim(len(model.pbond_list))
+        self.insteps = insteps
+        self.job_name = job_name
+        self.dump_dir = dump_dir
+
+        super().__init__(
+            model, spectratype, m_max, eta, h_mpo=h_mpo, method=method,
+            procedure_cv=procedure_cv, rtol=rtol, b_mps=b_mps, cv_mps=cv_mps,
+        )
+        if method != "1site":
+            raise NotImplementedError("finite-T CV supports 1site only")
+        self.cv_mpo = self.cv_mps
+        self.b_mpo = self.b_mps
+        self.a_oper = None
+
+    # --- initial states -----------------------------------------------------
+    def init_cv_mps(self):
+        return CvMpDm.finiteT_cv(
+            self.model, 1, self.m_max, self.spectratype, percent=1.0
+        )
+
+    def init_b_mps(self):
+        """b = -eta * mu * rho(beta/2) (reference ``cv/finitet.py:113-148``)."""
+        beta = self.temperature.to_beta()
+        if self.spectratype == "abs":
+            dipole_mpo = Mpo.onsite(self.model, r"a^\dagger", dipole=True)
+            i_mpo = MpDm.max_entangled_gs(self.model)
+            tp = ThermalProp(i_mpo, exact=True, space="GS")
+            tp.evolve(None, 1, beta / 2j)
+            ket_mpo = tp.latest_mps
+        else:
+            dipole_mpo = Mpo.onsite(self.model, "a", dipole=True)
+            ket_mpo = None
+            if self._defined_output_path:
+                ket_mpo = load_thermal_state(self.model, self._thermal_dump_path)
+            if ket_mpo is None:
+                impo = MpDm.max_entangled_ex(self.model)
+                impo.compress_config = self.compress_config
+                job_name = None if self.job_name is None else (
+                    self.job_name + "_thermal_prop"
+                )
+                tp = ThermalProp(
+                    impo, evolve_config=self.evolve_config,
+                    dump_dir=self.dump_dir, job_name=job_name,
+                )
+                tp.evolve(None, self.insteps, beta / 2j)
+                ket_mpo = tp.latest_mps
+                if self._defined_output_path:
+                    ket_mpo.dump(self._thermal_dump_path)
+        b_mpo = dipole_mpo.apply(ket_mpo.scale(-self.eta))
+        return b_mpo, None
+
+    @property
+    def _thermal_dump_path(self):
+        assert self._defined_output_path
+        return os.path.join(self.dump_dir, self.job_name + "_impo.npz")
+
+    @property
+    def _defined_output_path(self):
+        return self.dump_dir is not None and self.job_name is not None
+
+    def oper_prepare(self, omega):
+        identity = Mpo.identity(self.model).scale(omega)
+        self.a_oper = identity.add(self.h_mpo.scale(-1, inplace=False))
+
+    # --- site-local solve -----------------------------------------------------
+    def optimize_cv(self, lr_group, isite, percent=0.0):
+        first_LR, second_LR, third_LR, forth_LR = lr_group
+        i = isite - 1
+        l1, r1 = first_LR[i], first_LR[isite]
+        l2, r2 = second_LR[i], second_LR[isite]
+        l3, r3 = third_LR[i], third_LR[isite]
+        lb, rb = forth_LR[i], forth_LR[isite]
+
+        qnbigl, qnbigr, qnmat = self.cv_mpo._get_big_qn([i])
+        qn_mask = get_qn_mask(qnmat, self.cv_mpo.qntot)
+        cshape = qn_mask.shape
+        mask_idx = jnp.asarray(np.nonzero(qn_mask.ravel())[0])
+
+        a = self.a_oper[i]
+        h = self.h_mpo[i]
+        guess = self.cv_mpo[i].ravel()[mask_idx]
+        vec_b = einsum("pq,pudt,ts->quds", lb, self.b_mpo[i], rb).ravel()[mask_idx]
+
+        # Jacobi preconditioner: diagonal of the three contributions
+        l1d = einsum("pijp->pij", l1)
+        r1d = einsum("skls->skl", r1)
+        d1 = einsum("pij,iumk,jmul,skl->pus", l1d, a, a, r1d)
+        l2d = einsum("pijp->pij", l2)
+        r2d = einsum("skls->skl", r2)
+        d2 = einsum("pij,iuuk,jddl,skl->puds", l2d, a, h, r2d)
+        l3d = einsum("pijp->pij", l3)
+        r3d = einsum("skls->skl", r3)
+        d3 = einsum("pij,idnk,jndl,skl->pds", l3d, h, h, r3d)
+        pdim = d2.shape
+        diag = (
+            jnp.broadcast_to(d1[:, :, None, :], pdim)
+            + 2.0 * d2
+            + jnp.broadcast_to(d3[:, None, :, :], pdim)
+        )
+        prediag = diag.ravel()[mask_idx] + self.eta ** 2
+
+        solve = _ft_cg_factory(tuple(cshape), float(self.eta), 1e-5)
+        x, l_value = solve(
+            guess, vec_b, prediag, mask_idx, l1, r1, l2, r2, l3, r3, a, h
+        )
+        l_value = float(np.asarray(l_value))
+
+        xstruct = cvec2cmat(x, qn_mask)
+        self.cv_mpo._update_mps(xstruct, [i], qnbigl, qnbigr, percent)
+        return l_value
+
+    # --- environments ---------------------------------------------------------
+    # first/second/third: 4-layer sandwiches (conj X | A,A / A,H / H,H | X),
+    # forth: <b|X> overlap.  Index i covers sites [0, i) from the left and
+    # [i, N) from the right (reference ``cv/finitet.py:585-716``).
+    def _env_up(self, envs, i, domain):
+        x = self.cv_mpo[i]
+        xc = x.conj()
+        a = self.a_oper[i]
+        h = self.h_mpo[i]
+        l1, l2, l3, lb = envs
+        if domain == "L":
+            n1 = einsum(_E1_L, l1, xc, a, a, x)
+            n2 = einsum(_E2_L, l2, xc, a, x, h)
+            n3 = einsum(_E3_L, l3, xc, x, h, h)
+            nb = einsum(_EB_L, lb, self.b_mpo[i], x)
+        else:
+            n1 = einsum("wxyz,pudw,iumx,jmny,qndz->pijq", l1, xc, a, a, x)
+            n2 = einsum("wxyz,pudw,iumx,qmnz,jndy->pijq", l2, xc, a, x, h)
+            n3 = einsum("wxyz,pudw,qumz,imnx,jndy->pijq", l3, xc, x, h, h)
+            nb = einsum("wz,pudw,qudz->pq", lb, self.b_mpo[i], x)
+        return n1, n2, n3, nb
+
+    def initialize_LR(self):
+        n = len(self.cv_mpo)
+        first_LR = [None] * (n + 1)
+        second_LR = [None] * (n + 1)
+        third_LR = [None] * (n + 1)
+        forth_LR = [None] * (n + 1)
+        for lr in (first_LR, second_LR, third_LR):
+            lr[0] = jnp.ones((1, 1, 1, 1))
+            lr[n] = jnp.ones((1, 1, 1, 1))
+        forth_LR[0] = jnp.ones((1, 1))
+        forth_LR[n] = jnp.ones((1, 1))
+        if self.cv_mpo.to_right:
+            for isite in range(n, 1, -1):
+                envs = (
+                    first_LR[isite], second_LR[isite],
+                    third_LR[isite], forth_LR[isite],
+                )
+                n1, n2, n3, nb = self._env_up(envs, isite - 1, "R")
+                first_LR[isite - 1] = n1
+                second_LR[isite - 1] = n2
+                third_LR[isite - 1] = n3
+                forth_LR[isite - 1] = nb
+        else:
+            for isite in range(1, n):
+                envs = (
+                    first_LR[isite - 1], second_LR[isite - 1],
+                    third_LR[isite - 1], forth_LR[isite - 1],
+                )
+                n1, n2, n3, nb = self._env_up(envs, isite - 1, "L")
+                first_LR[isite] = n1
+                second_LR[isite] = n2
+                third_LR[isite] = n3
+                forth_LR[isite] = nb
+        return [first_LR, second_LR, third_LR, forth_LR]
+
+    def update_LR(self, lr_group, isite):
+        first_LR, second_LR, third_LR, forth_LR = lr_group
+        if not self.cv_mpo.to_right:
+            envs = (
+                first_LR[isite], second_LR[isite],
+                third_LR[isite], forth_LR[isite],
+            )
+            n1, n2, n3, nb = self._env_up(envs, isite - 1, "R")
+            first_LR[isite - 1] = n1
+            second_LR[isite - 1] = n2
+            third_LR[isite - 1] = n3
+            forth_LR[isite - 1] = nb
+        else:
+            envs = (
+                first_LR[isite - 1], second_LR[isite - 1],
+                third_LR[isite - 1], forth_LR[isite - 1],
+            )
+            n1, n2, n3, nb = self._env_up(envs, isite - 1, "L")
+            first_LR[isite] = n1
+            second_LR[isite] = n2
+            third_LR[isite] = n3
+            forth_LR[isite] = nb
+        return [first_LR, second_LR, third_LR, forth_LR]

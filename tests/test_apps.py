@@ -240,3 +240,46 @@ def test_cv_zerot():
         x = np.linalg.solve(A, ket)
         oracle = -1 / np.pi * np.imag(ket @ x)
         assert abs(res - oracle) / abs(oracle) < 1e-3
+
+
+@pytest.mark.parametrize("spectratype", ["abs", "emi"])
+def test_cv_finitet(spectratype):
+    """Finite-T DDMRG correction vector vs the dense Liouville-space
+    Lorentzian oracle (eta/pi) sum_ij |B_ij|^2 / ((w-(E_i-E_j))^2+eta^2),
+    B = V^T mu rho(beta/2) V."""
+    import scipy.linalg
+    from renormalizer_tpu.cv import SpectraFtCV
+
+    ph = Phonon.simple_phonon(Quantity(1.0), Quantity(0.4), 2)
+    model = HolsteinModel([Mol(Quantity(1.0), [ph], 1.0)] * 2, Quantity(0.2))
+    eta = 0.05
+    temperature = Quantity(0.5, "a.u.")
+    beta = temperature.to_beta()
+    if spectratype == "abs":
+        cv = SpectraFtCV(model, "abs", m_max=16, eta=eta, temperature=temperature,
+                         procedure_cv=[0.4, 0.2, 0.1, 0] + [0] * 10)
+        op, sector, freqs = r"a^\dagger", 0, (1.05, 1.5)
+    else:
+        cv = SpectraFtCV(model, "emi", m_max=16, eta=eta, temperature=temperature,
+                         insteps=50, procedure_cv=[0.4, 0.2, 0.1, 0] + [0] * 10)
+        op, sector, freqs = "a", 1, (-1.05, -1.5)
+
+    h = dense_hamiltonian(model)
+    dims = model.pbond_list
+    mu = dense_hamiltonian(Model(model.basis, [Op(op, d, 1.0) for d in model.e_dofs]))
+    qn = np.array([
+        sum(model.basis[i].sigmaqn[np.unravel_index(s, dims)[i]][0]
+            for i in range(len(dims)))
+        for s in range(h.shape[0])
+    ])
+    sidx = np.nonzero(qn == sector)[0]
+    rho = np.zeros_like(h)
+    rho[np.ix_(sidx, sidx)] = scipy.linalg.expm(-beta / 2 * h[np.ix_(sidx, sidx)])
+    rho /= np.linalg.norm(rho)
+    E, V = np.linalg.eigh(h)
+    B = V.T @ (mu @ rho) @ V
+    gaps = E[:, None] - E[None, :]
+    for omega in freqs:
+        res = cv.cv_solve(omega)
+        oracle = eta / np.pi * np.sum(np.abs(B) ** 2 / ((omega - gaps) ** 2 + eta ** 2))
+        assert abs(res - oracle) / abs(oracle) < 1e-4
