@@ -168,14 +168,23 @@ def select_basis(vset, sset, qnlist, compset, Mmax, percent=0):
 
     mpsdim = len(sidx)
     idx = jnp.asarray(np.array(sidx, dtype=int))
-    ms = jnp.asarray(vset)[:, idx]
+    # host inputs stay on host: every device gather of a new (shape, count)
+    # pair is a fresh remote compile, and callers like ``Mps.random`` are
+    # pure-numpy anyway
+    host = isinstance(vset, np.ndarray)
+    if host:
+        ms = vset[:, np.array(sidx, dtype=int)]
+    else:
+        ms = jnp.asarray(vset)[:, idx]
     mpsqn = np.array([qnlist[i] for i in sidx])
     if compset is not None:
-        compset = jnp.asarray(compset)
         # columns beyond compset's width correspond to zero singular values
         scale = np.where(np.array(sidx) < compset.shape[1], sset[sidx], 0.0)
-        safe_idx = jnp.asarray(np.minimum(np.array(sidx), compset.shape[1] - 1))
-        compms = compset[:, safe_idx] * jnp.asarray(scale)[None, :]
+        safe_np = np.minimum(np.array(sidx), compset.shape[1] - 1)
+        if isinstance(compset, np.ndarray):
+            compms = compset[:, safe_np] * scale[None, :]
+        else:
+            compms = compset[:, jnp.asarray(safe_np)] * jnp.asarray(scale)[None, :]
     else:
         compms = None
     return ms, mpsdim, mpsqn, compms

@@ -14,6 +14,7 @@ from renormalizer_tpu import Mps, Mpo, Op, Model, BasisHalfSpin, Quantity
 from renormalizer_tpu.model import heisenberg_ops
 from renormalizer_tpu.mps import StackedMpo
 from renormalizer_tpu.mps.gs import construct_mps_mpo, optimize_mps
+from renormalizer_tpu.utils import CompressConfig, CompressCriteria, OptimizeConfig
 
 procedure = [[10, 0.4], [20, 0.2], [30, 0.1], [40, 0], [40, 0]]
 
@@ -201,3 +202,62 @@ def test_dump_load(tmp_path):
     assert np.allclose(mps.todense(), mps2.todense())
     assert mps2.qnidx == mps.qnidx
     assert np.all(mps2.qntot == mps.qntot)
+
+
+def test_optimize_omega():
+    """(H - omega)^2 mode targets the interior eigenstate closest to omega."""
+    model = exact_model()
+    h = dense_hamiltonian(model)
+    dims = model.pbond_list
+    qn = np.array([
+        sum(model.basis[i].sigmaqn[np.unravel_index(s, dims)[i]][0]
+            for i in range(len(dims)))
+        for s in range(h.shape[0])
+    ])
+    s1 = np.nonzero(qn == 1)[0]
+    w = np.linalg.eigvalsh(h[np.ix_(s1, s1)])
+    mps = Mps.random(model, 1, 24)
+    mps.optimize_config = OptimizeConfig(
+        procedure=[[24, 0.4], [24, 0.2], [24, 0.1], [24, 0], [24, 0], [24, 0]]
+    )
+    _, opt = optimize_mps(mps, Mpo(model), omega=w[1] + 0.02)
+    e_fin = opt.expectation(Mpo(model))
+    assert abs(e_fin - w[1]) < 1e-8
+
+
+def test_variational_compress():
+    """Sweeping-fit compression of mpo @ mps vs the exact dense product."""
+    model = exact_model()
+    mpo = Mpo(model)
+    small = Mps.random(model, 1, 12)
+    small.compress_config = CompressConfig(CompressCriteria.fixed, max_bonddim=24)
+    dense_big = (mpo @ small).todense()
+    comp = small.variational_compress(mpo)
+    err = np.linalg.norm(comp.todense() - dense_big) / np.linalg.norm(dense_big)
+    assert err < 1e-10
+
+
+def test_mpo_dump_load(tmp_path):
+    model = exact_model()
+    mpo = Mpo(model)
+    p = str(tmp_path / "mpo.npz")
+    mpo.dump(p)
+    mpo2 = Mpo.load(model, p)
+    assert np.allclose(mpo.todense(), mpo2.todense())
+
+
+def test_ofs():
+    """On-the-fly swapping ground state: scheme-1 Holstein, OFS-S
+    (protocol mirrors reference ``mps/tests/test_gs.py:89-100``)."""
+    from renormalizer_tpu import Model
+    from renormalizer_tpu.utils import OFS
+
+    model1 = holstein_model.switch_scheme(1)
+    mps, mpo = construct_mps_mpo(model1, 10, 1)
+    mps.model = Model(mps.model.basis, mps.model.ham_terms)
+    mps.optimize_config.procedure = [[10, 0.4], [20, 0.2], [30, 0.1], [40, 0], [40, 0]]
+    mps.optimize_config.method = "2site"
+    mps.compress_config.ofs = OFS.ofs_s
+    energies, mps_opt = optimize_mps(mps.copy(), mpo)
+    assert abs(energies[-1] - GS_E) / GS_E < 1e-5
+    assert abs(mps_opt.expectation(Mpo(mps_opt.model)) - GS_E) / GS_E < 1e-5
