@@ -140,10 +140,21 @@ _OUT_OF_SECTOR = 1e10
 
 @lru_cache(maxsize=None)
 def _davidson_factory(formula: str, cshape: Tuple[int, ...], inverse: float,
-                      tol: float, max_cycle: int, max_space: int):
+                      tol: float, max_cycle: int, max_space: int,
+                      mesh=None, operand_shapes=None):
+    sharded_hop = None
+    if mesh is not None:
+        from renormalizer_tpu.parallel.hop import sharded_hop_factory
+
+        sharded_hop = sharded_hop_factory(mesh, formula, operand_shapes, cshape)
+
     @jax.jit
     def fused(x0_full, hdiag_full, mask, *operands):
-        hop_raw = _einsum_hop(formula, operands, cshape)
+        if sharded_hop is not None:
+            def hop_raw(v):
+                return sharded_hop(*operands, v)
+        else:
+            hop_raw = _einsum_hop(formula, operands, cshape)
 
         def hop(x):
             # keep the iteration inside the quantum-number sector; the
@@ -166,9 +177,19 @@ def davidson_fused(formula, operands, cshape, x0_full, hdiag_full, mask,
 
     ``operands`` are the environment/MPO tensors of the effective-H einsum;
     ``mask`` is the flat boolean quantum-number mask.  The returned ritz
-    vector lives in the full space (zero outside the sector)."""
+    vector lives in the full space (zero outside the sector).
+
+    When a global mesh is installed (``parallel.set_global_mesh``) the
+    matvec is bond-tensor-parallel over the mesh's ``i``/``j`` axes for
+    sites whose bond dimensions divide the mesh."""
+    from renormalizer_tpu.parallel.mesh import get_global_mesh
+
+    mesh = get_global_mesh()
+    operand_shapes = (
+        tuple(tuple(np.shape(o)) for o in operands) if mesh is not None else None
+    )
     fn = _davidson_factory(formula, tuple(cshape), float(inverse), float(tol),
-                           int(max_cycle), int(max_space))
+                           int(max_cycle), int(max_space), mesh, operand_shapes)
     return fn(
         jnp.asarray(x0_full).ravel(), jnp.asarray(hdiag_full).ravel(),
         jnp.asarray(mask).ravel(), *operands

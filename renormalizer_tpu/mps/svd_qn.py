@@ -1,11 +1,15 @@
-r"""Quantum-number-blocked SVD / QR / eigh on device.
+r"""Quantum-number-blocked SVD / QR / eigh.
 
-TPU-native counterpart of the reference's host-LAPACK blockwise
-decompositions (``renormalizer/mps/svd_qn.py:99-302``).  The quantum-number
-bookkeeping (which rows/columns belong to which symmetry sector) is tiny
-integer metadata computed on the host with NumPy; the actual decompositions
-run on device per sector via ``jnp.linalg`` so the (potentially large) site
-tensors never cross the host<->device boundary.
+Counterpart of the reference's blockwise decompositions
+(``renormalizer/mps/svd_qn.py:99-302``) with a deliberate host/device split:
+the site tensor is brought to the host in ONE bulk transfer and the many
+small per-sector factorizations run in LAPACK.  TPUs excel at large fused
+einsums (the Davidson/CG hot loops) but are poor at sequences of tiny
+SVD/QR kernels — each distinct sector shape would trigger a fresh XLA
+compilation and a device round-trip, which profiling showed dominating the
+sweep time (~70%) on tunneled TPU setups.  The factors returned are NumPy;
+they are promoted back to device arrays lazily at their next use inside a
+fused contraction.
 
 Layout convention matches the reference: the input coefficient tensor is
 reshaped to a matrix (super-L-block x super-R-block); each valid sector
@@ -17,8 +21,6 @@ independently, and the factors are scattered back with sector-sorted columns
 
 from typing import List, Tuple
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from renormalizer_tpu.backend import backend
@@ -37,48 +39,25 @@ def get_qn_mask(qnmat: np.ndarray, qntot) -> np.ndarray:
     return np.all(qnmat == np.array(qntot), axis=-1)
 
 
-# --- jitted per-sector kernels (compile-cached by block shape) -----------
-
-@jax.jit
-def _svd_econ(block):
-    return jnp.linalg.svd(block, full_matrices=False)
-
-
-@jax.jit
-def _qr_econ(block):
-    return jnp.linalg.qr(block, mode="reduced")
-
-
-@jax.jit
 def _rq_econ(block):
     """RQ decomposition via QR of the flipped matrix: if
     A[::-1, ::-1] = Q R then A = R[::-1, ::-1] Q[::-1, ::-1] with the first
     factor upper-left-triangular.  Returns (R_factor, Q_factor)."""
-    q, r = jnp.linalg.qr(block[::-1, ::-1].T, mode="reduced")
+    q, r = np.linalg.qr(block[::-1, ::-1].T)
     return r[::-1, ::-1].T, q[::-1, ::-1].T
 
 
-@jax.jit
-def _eigh(block):
-    return jnp.linalg.eigh(block)
+_rng = np.random.default_rng(backend.seed)
 
 
-def _orthonormal_complement(u, n_extra, rng_key):
+def _orthonormal_complement(u, n_extra):
     """Append ``n_extra`` random orthonormal columns orthogonal to ``u``
     (reference ``svd_qn.py:52-63``)."""
     m = u.shape[0]
-    a = jax.random.uniform(rng_key, (m, n_extra), dtype=jnp.real(u).dtype)
+    a = _rng.standard_normal((m, n_extra)).astype(u.dtype)
     a = a - u @ (u.conj().T @ a)
-    q, _ = jnp.linalg.qr(a, mode="reduced")
-    return jnp.concatenate([u, q], axis=1)
-
-
-_rng_counter = [0]
-
-
-def _next_key():
-    _rng_counter[0] += 1
-    return jax.random.PRNGKey(backend.seed + _rng_counter[0])
+    q, _ = np.linalg.qr(a)
+    return np.concatenate([u, q], axis=1)
 
 
 def _sector_indices(localqnl, localqnr, qntot):
@@ -106,8 +85,8 @@ def svd_qn(
 ):
     r"""Blockwise SVD/QR of a coefficient tensor respecting quantum numbers.
 
-    Parameters mirror the reference ``svd_qn.py:99-155``.  Returns device
-    arrays for the factors and host singular values / quantum number lists:
+    Parameters mirror the reference ``svd_qn.py:99-155``.  Returns host
+    factors and singular values / quantum number lists:
 
     * SVD: ``(U, S_u, qnl_list, V, S_v, qnr_list)`` — with
       ``full_matrices=False`` the columns are globally sorted by descending
@@ -119,7 +98,8 @@ def svd_qn(
     localqnl = np.asarray(qnbigl).reshape(-1, qn_size)
     localqnr = np.asarray(qnbigr).reshape(-1, qn_size)
     m, n = len(localqnl), len(localqnr)
-    mat = jnp.asarray(coef_array).reshape(m, n)
+    # ONE bulk device->host transfer; everything below is LAPACK
+    mat = np.asarray(coef_array).reshape(m, n)
 
     sectors = _sector_indices(localqnl, localqnr, qntot)
     if len(sectors) == 0:
@@ -134,10 +114,10 @@ def svd_qn(
 
     for nl, lset, rset in sectors:
         nr = qntot - nl
-        block = mat[jnp.asarray(lset)][:, jnp.asarray(rset)]
+        block = mat[np.ix_(lset, rset)]
         dim = min(len(lset), len(rset))
         if not QR:
-            bu, bs, bvt = _svd_econ(block)
+            bu, bs, bvt = np.linalg.svd(block, full_matrices=False)
             bv = bvt.T  # same convention as the reference: caller uses v.T
             s_blocks.append(bs)
             if full_matrices:
@@ -153,7 +133,7 @@ def svd_qn(
                         n_extra = dim
                     else:
                         n_extra = nrows - dim
-                    b_full = _orthonormal_complement(b, n_extra, _next_key())
+                    b_full = _orthonormal_complement(b, n_extra)
                     blocks0.append((idx_set, b_full[:, dim:]))
                     qn_list0.extend([qn_tuple] * n_extra)
                     s_list0.append(np.zeros(n_extra))
@@ -164,7 +144,7 @@ def svd_qn(
             v_blocks.append((rset, bv[:, :dim]))
         else:
             if system == "L":
-                bq, br = _qr_econ(block)
+                bq, br = np.linalg.qr(block)
                 u_blocks.append((lset, bq))
                 v_blocks.append((rset, br.T))
             elif system == "R":
@@ -178,10 +158,10 @@ def svd_qn(
 
     def scatter(blocks, nrows):
         total_cols = sum(b.shape[1] for _, b in blocks)
-        out = jnp.zeros((nrows, total_cols), dtype=mat.dtype)
+        out = np.zeros((nrows, total_cols), dtype=mat.dtype)
         col = 0
         for idx, b in blocks:
-            out = out.at[jnp.asarray(idx), col:col + b.shape[1]].set(b.astype(mat.dtype))
+            out[idx, col:col + b.shape[1]] = b.astype(mat.dtype)
             col += b.shape[1]
         return out
 
@@ -194,14 +174,14 @@ def svd_qn(
         return u, new_qnl, v, new_qnr
 
     # singular values (host, tiny) for truncation decisions
-    s_main = np.concatenate([np.asarray(s) for s in s_blocks]) if s_blocks else np.zeros(0)
+    s_main = np.concatenate(s_blocks) if s_blocks else np.zeros(0)
     su = np.concatenate([s_main] + s_blocks0_u) if s_blocks0_u else s_main
     sv = np.concatenate([s_main] + s_blocks0_v) if s_blocks0_v else s_main
 
     if not full_matrices:
         order = np.argsort(su)[::-1]
-        u = u[:, jnp.asarray(order)]
-        v = v[:, jnp.asarray(order)]
+        u = u[:, order]
+        v = v[:, order]
         su = sv = su[order]
         new_qnl = [new_qnl[i] for i in order]
         new_qnr = [new_qnr[i] for i in order]
@@ -222,7 +202,7 @@ def eigh_qn(dm, qnbigl, qnbigr, qntot, system) -> Tuple:
     localqn = np.asarray(qnbig).reshape(-1, qn_size)
     comp_flat = np.asarray(comp).reshape(-1, qn_size)
     n = len(localqn)
-    mat = jnp.asarray(dm).reshape(n, n)
+    mat = np.asarray(dm).reshape(n, n)
 
     u_blocks, s_list, new_qn = [], [], []
     for nl in sorted(set(tuple(t) for t in localqn)):
@@ -230,19 +210,18 @@ def eigh_qn(dm, qnbigl, qnbigr, qntot, system) -> Tuple:
         if not get_qn_mask(comp_flat, nr).any():
             continue
         sel = np.nonzero(get_qn_mask(localqn, np.array(nl)))[0]
-        block = mat[jnp.asarray(sel)][:, jnp.asarray(sel)]
-        w, bu = _eigh(block)
-        w = np.asarray(w)
+        block = mat[np.ix_(sel, sel)]
+        w, bu = np.linalg.eigh(block)
         w = np.where(w < 0, 0, w)
         s_list.append(np.sqrt(w))
         u_blocks.append((sel, bu))
         new_qn.extend([tuple(nl)] * len(sel))
 
     total_cols = sum(b.shape[1] for _, b in u_blocks)
-    u = jnp.zeros((n, total_cols), dtype=mat.dtype)
+    u = np.zeros((n, total_cols), dtype=mat.dtype)
     col = 0
     for idx, b in u_blocks:
-        u = u.at[jnp.asarray(idx), col:col + b.shape[1]].set(b)
+        u[idx, col:col + b.shape[1]] = b
         col += b.shape[1]
     s = np.concatenate(s_list)
     return u, s, new_qn

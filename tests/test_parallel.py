@@ -1,0 +1,82 @@
+"""Multi-chip sharding tests on the virtual CPU device mesh
+(conftest forces 8 host devices)."""
+
+import numpy as np
+import pytest
+
+from fixtures import dense_hamiltonian
+
+import renormalizer_tpu.parallel as par
+from renormalizer_tpu import BasisHalfSpin, Model, Mpo, Mps
+from renormalizer_tpu.model import heisenberg_ops
+from renormalizer_tpu.mps.gs import optimize_mps
+from renormalizer_tpu.utils import OptimizeConfig
+
+
+@pytest.fixture
+def mesh22():
+    mesh = par.make_mesh(data=1, i=2, j=2)
+    par.set_global_mesh(mesh)
+    yield mesh
+    par.set_global_mesh(None)
+
+
+def test_sharded_hop_matches_dense(mesh22):
+    """Sharded 2-site effective-H matvec == single-device einsum."""
+    import jax.numpy as jnp
+
+    formula = "abc,bdef,fghj,ljk,cehk->adgl"
+    M, w, d = 16, 5, 3
+    rng = np.random.default_rng(0)
+    L = rng.standard_normal((M, w, M))
+    W1 = rng.standard_normal((w, d, d, w))
+    W2 = rng.standard_normal((w, d, d, w))
+    R = rng.standard_normal((M, w, M))
+    x = rng.standard_normal((M, d, d, M))
+    shapes = tuple(t.shape for t in (L, W1, W2, R))
+    hop = par.sharded_hop_factory(mesh22, formula, shapes, x.shape)
+    assert hop is not None
+    out = np.asarray(hop(L, W1, W2, R, x.ravel())).reshape(M, d, d, M)
+    ref = np.asarray(jnp.einsum(formula, L, W1, W2, R, x))
+    assert np.allclose(out, ref, atol=1e-10)
+
+
+def test_sharded_hop_fallback():
+    """Indivisible bond dims return None (caller falls back)."""
+    mesh = par.make_mesh(data=1, i=2, j=2)
+    formula = "abc,bdef,fghj,ljk,cehk->adgl"
+    shapes = ((15, 5, 15), (5, 3, 3, 5), (5, 3, 3, 5), (15, 5, 15))
+    assert par.sharded_hop_factory(mesh, formula, shapes, (15, 3, 3, 15)) is None
+
+
+def test_dmrg_with_global_mesh(mesh22):
+    """DMRG sweeps with the global mesh installed reproduce the
+    single-device ground-state energy (interior sites sharded, edge sites
+    fall back automatically)."""
+    import renormalizer_tpu.parallel.hop as hop_mod
+
+    calls = {"sharded": 0}
+    orig = hop_mod.sharded_hop_factory
+
+    def counting(*a, **k):
+        r = orig(*a, **k)
+        if r is not None:
+            calls["sharded"] += 1
+        return r
+
+    hop_mod.sharded_hop_factory = counting
+    try:
+        # spin chain: single qn sector, power-of-two bond dims divide the mesh
+        nspin = 10
+        model = Model([BasisHalfSpin(i) for i in range(nspin)], heisenberg_ops(nspin))
+        mps = Mps.random(model, 0, 32)
+        mps.optimize_config = OptimizeConfig(
+            procedure=[[32, 0.4], [32, 0.2], [32, 0], [32, 0]]
+        )
+        energies, _ = optimize_mps(mps, Mpo(model))
+        e = min(np.min(np.asarray(en)) for en in energies)
+    finally:
+        hop_mod.sharded_hop_factory = orig
+    e_exact = np.linalg.eigvalsh(dense_hamiltonian(model))[0]
+    assert abs(e - e_exact) < 1e-7
+    assert calls["sharded"] > 0, "no site update was actually sharded"
