@@ -91,11 +91,21 @@ def _davidson_core(hop, x0, hdiag, tol, max_cycle, max_space):
         tnorm = jnp.linalg.norm(t)
         t = jnp.where(tnorm > 1e-14, t / tnorm, t)
 
-        # thick restart when the workspace is full: collapse to the ritz pair
+        # thick restart when the workspace is full: collapse to the ritz
+        # pair.  lax.cond instead of jnp.where so the full-workspace copy is
+        # only materialized on actual restarts (1 in S iterations)
         restart = st.size >= S
-        V = jnp.where(restart, jnp.zeros_like(st.V).at[0].set(x), st.V)
-        W = jnp.where(restart, jnp.zeros_like(st.W).at[0].set(hx), st.W)
-        size = jnp.where(restart, 1, st.size)
+
+        def do_restart(_):
+            return (
+                jnp.zeros_like(st.V).at[0].set(x),
+                jnp.zeros_like(st.W).at[0].set(hx),
+                jnp.asarray(1, st.size.dtype),
+            )
+
+        V, W, size = jax.lax.cond(
+            restart, do_restart, lambda _: (st.V, st.W, st.size), None
+        )
 
         t = t - V.T @ (V.conj() @ t)
         tnorm2 = jnp.linalg.norm(t)
@@ -157,11 +167,14 @@ def _davidson_factory(formula: str, cshape: Tuple[int, ...], inverse: float,
             hop_raw = _einsum_hop(formula, operands, cshape)
 
         def hop(x):
-            # keep the iteration inside the quantum-number sector; the
-            # full-space layout keeps shapes identical for every site and
+            # the full-space layout keeps shapes identical for every site and
             # sweep (one XLA executable per tensor shape instead of one per
-            # sector size — the central recompilation-avoidance trick)
-            return jnp.where(mask, hop_raw(jnp.where(mask, x, 0)), 0) * inverse
+            # sector size — the central recompilation-avoidance trick).  No
+            # masking is needed inside the iteration: the MPO and the
+            # environments are exactly qn-block-sparse, so H @ x of a masked
+            # x has exact zeros outside the sector, and the preconditioned
+            # residual inherits them (out-of-sector r is exactly 0).
+            return hop_raw(x) * inverse
 
         hdiag = jnp.where(mask, hdiag_full * inverse, _OUT_OF_SECTOR)
         x0 = jnp.where(mask, x0_full, 0)

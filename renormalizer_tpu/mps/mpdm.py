@@ -100,11 +100,13 @@ class MpDm(Mps, Mpo):
         return True
 
     def _expectation_path(self):
+        # environments are (bra, mpo, ket)-ordered; operands are
+        # (l, ket_site, mpo_site, bra_site, r); ancilla index e traced
         #       e                e
-        # S--a--S--f--S    (ancilla traced)
+        # S*-a--S--f--S*   (bra)
         # O--b--O--h--O
-        # S--c--S--j--S
-        return "abc,adef,bdgh,cgej,fhj->"
+        # S--c--S--j--S    (ket)
+        return "abc,cgej,bdgh,adef,fhj->"
 
     def conj_trans(self):
         raise NotImplementedError

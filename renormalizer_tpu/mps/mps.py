@@ -383,12 +383,14 @@ class Mps(MatrixProduct):
 
     # --- measurement -----------------------------------------------------------
     def _expectation_path(self):
-        #  S--a--S--e--S
+        # environments are (bra, mpo, ket)-ordered; operands are
+        # (l, ket_site, mpo_site, bra_site, r)
+        #  S*-a--S--e--S*   (bra)
         #  |     d     |
         #  O--b--O--g--O
         #  |     f     |
-        #  S--c--S--h--S
-        return "abc,ade,bdfg,cfh,egh->"
+        #  S--c--S--h--S    (ket)
+        return "abc,cfh,bdfg,ade,egh->"
 
     def _expectation_conj(self):
         return self.conj()

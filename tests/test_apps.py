@@ -283,3 +283,83 @@ def test_cv_finitet(spectratype):
         res = cv.cv_solve(omega)
         oracle = eta / np.pi * np.sum(np.abs(B) ** 2 / ((omega - gaps) ** 2 + eta ** 2))
         assert abs(res - oracle) / abs(oracle) < 1e-4
+
+
+def test_transition_expectation():
+    """<bra|O|ket> with bra != ket and differing bond dimensions (regression:
+    the final contraction used to flip the bra/ket environment axes)."""
+    model = exact_model()
+    mpo = Mpo(model)
+    a = Mps.random(model, 1, 8)
+    b = (mpo @ a).canonicalise().compress(temp_m_trunc=6)
+    raw = a.expectation(mpo, b.conj())
+    dense = b.todense().ravel().conj() @ mpo.todense() @ a.todense().ravel()
+    assert abs(raw - dense) < 1e-10
+
+
+def test_transport_kubo():
+    """Finite-T current-current correlation vs the dense Liouville oracle
+    (protocol mirrors reference ``transport/tests/test_kubo.py:21-34``)."""
+    import scipy.linalg
+    from renormalizer_tpu.transport import TransportKubo
+
+    ph = Phonon.simple_phonon(Quantity(1), Quantity(1), 2)
+    model = HolsteinModel([Mol(Quantity(0), [ph])] * 5, Quantity(1), 3)
+    temperature = Quantity(50000, "K")
+    kubo = TransportKubo(
+        model, temperature,
+        compress_config=CompressConfig(CompressCriteria.fixed, max_bonddim=24),
+        ievolve_config=EvolveConfig(EvolveMethod.tdvp_ps, adaptive=True, guess_dt=-0.1j),
+        evolve_config=EvolveConfig(EvolveMethod.tdvp_ps, adaptive=True, guess_dt=0.5,
+                                   adaptive_rtol=1e-3),
+    )
+    kubo.evolve(nsteps=5, evolve_time=5)
+
+    h = dense_hamiltonian(model)
+    dims = model.pbond_list
+    qn = np.array([
+        sum(model.basis[i].sigmaqn[np.unravel_index(s, dims)[i]][0]
+            for i in range(len(dims)))
+        for s in range(h.shape[0])
+    ])
+    s1 = np.nonzero(qn == 1)[0]
+    H1 = h[np.ix_(s1, s1)]
+    J = 1.0
+    e_dofs = model.e_dofs
+    terms = []
+    for i in range(len(e_dofs) - 1):
+        terms.append(Op(r"a^\dagger a", [e_dofs[i], e_dofs[i + 1]], factor=J))
+        terms.append(Op(r"a^\dagger a", [e_dofs[i + 1], e_dofs[i]], factor=-J))
+    j_dense = dense_hamiltonian(Model(model.basis, terms))[np.ix_(s1, s1)]
+    beta = temperature.to_beta()
+    rho = scipy.linalg.expm(-beta * H1)
+    rho /= np.trace(rho)
+    E, V = np.linalg.eigh(H1)
+    rho_e = V.T @ rho @ V
+    j_e = V.T @ j_dense @ V
+    oracle = []
+    for t in kubo.evolve_times_array:
+        ph_t = np.exp(1j * E * t)
+        j_t = (ph_t[:, None] * j_e) * np.conj(ph_t)[None, :]
+        oracle.append(-np.trace(rho_e @ j_t @ j_e))
+    assert np.allclose(kubo.auto_corr, np.array(oracle), rtol=5e-2)
+
+
+def test_transport_band_limit():
+    """Free-electron charge diffusion: r^2(t) = 2 J^2 t^2
+    (protocol mirrors reference ``transport/tests/test_dynamics.py:24-40``)."""
+    from renormalizer_tpu.transport import ChargeDiffusionDynamics, EDGE_THRESHOLD
+
+    mol_num = 13
+    ph_list = [Phonon.simple_phonon(Quantity(1e-10, "cm-1"), Quantity(1e-10, "a.u."), 4)]
+    j_constant = Quantity(0.8, "eV")
+    model = HolsteinModel([Mol(Quantity(0), ph_list)] * mol_num, j_constant, 3)
+    ct = ChargeDiffusionDynamics(
+        model, evolve_config=EvolveConfig(EvolveMethod.prop_and_compress)
+    )
+    ct.stop_at_edge = True
+    ct.evolve(4, 25)
+    assert EDGE_THRESHOLD < ct.latest_mps.e_occupations[0] < 0.1
+    analytical = 2 * j_constant.as_au() ** 2 * ct.evolve_times_array ** 2
+    m = analytical > 0
+    assert np.allclose(np.asarray(ct.r_square_array)[m], analytical[m], rtol=1e-3)
