@@ -363,3 +363,48 @@ def test_transport_band_limit():
     analytical = 2 * j_constant.as_au() ** 2 * ct.evolve_times_array ** 2
     m = analytical > 0
     assert np.allclose(np.asarray(ct.r_square_array)[m], analytical[m], rtol=1e-3)
+
+
+def test_spectra_finitet_abs():
+    """Finite-T time-domain absorption autocorrelation vs the dense oracle
+    with matching operator ordering: odd steps evolve the ket as
+    U K U_gs^ancilla, even steps the bra (two-way propagation with exact
+    GS-space counter-evolution on the ancilla legs)."""
+    import scipy.linalg
+    from renormalizer_tpu.spectra import SpectraFiniteT
+
+    ph = Phonon.simple_phonon(Quantity(1.0), Quantity(0.4), 2)
+    model = HolsteinModel([Mol(Quantity(1.0), [ph], 1.0)] * 2, Quantity(0.2))
+    temperature = Quantity(0.2, "a.u.")
+    job = SpectraFiniteT(model, "abs", temperature, 20, Quantity(0),
+                         evolve_config=EvolveConfig(EvolveMethod.tdvp_ps))
+    dt, n = 0.4, 5
+    job.evolve(evolve_dt=dt, nsteps=n)
+    ac = np.asarray(job.autocorr)
+
+    h = dense_hamiltonian(model)
+    dims = model.pbond_list
+    qn = np.array([
+        sum(model.basis[i].sigmaqn[np.unravel_index(s, dims)[i]][0]
+            for i in range(len(dims)))
+        for s in range(h.shape[0])
+    ])
+    s0 = np.nonzero(qn == 0)[0]
+    beta = temperature.to_beta()
+    rho_h = np.zeros_like(h)
+    rho_h[np.ix_(s0, s0)] = scipy.linalg.expm(-beta / 2 * h[np.ix_(s0, s0)])
+    rho_h /= np.linalg.norm(rho_h)
+    mu = dense_hamiltonian(Model(model.basis, [Op(r"a^\dagger", d, 1.0) for d in model.e_dofs]))
+    hph = dense_hamiltonian(Model(model.basis, [Op(r"b^\dagger b", d, 1.0) for d in model.v_dofs]))
+    U = scipy.linalg.expm(-1j * h * dt)
+    Ugs = scipy.linalg.expm(1j * hph * dt)
+    K = (mu @ rho_h).astype(complex)
+    B = K.copy()
+    oracle = [np.trace(B.conj().T @ K)]
+    for i in range(1, n + 1):
+        if i % 2 == 1:
+            K = U @ K @ Ugs
+        else:
+            B = U.conj().T @ B @ Ugs.conj().T
+        oracle.append(np.trace(B.conj().T @ K))
+    assert np.abs(ac - np.array(oracle)).max() < 1e-8
