@@ -91,21 +91,11 @@ def _davidson_core(hop, x0, hdiag, tol, max_cycle, max_space):
         tnorm = jnp.linalg.norm(t)
         t = jnp.where(tnorm > 1e-14, t / tnorm, t)
 
-        # thick restart when the workspace is full: collapse to the ritz
-        # pair.  lax.cond instead of jnp.where so the full-workspace copy is
-        # only materialized on actual restarts (1 in S iterations)
+        # thick restart when the workspace is full: collapse to the ritz pair
         restart = st.size >= S
-
-        def do_restart(_):
-            return (
-                jnp.zeros_like(st.V).at[0].set(x),
-                jnp.zeros_like(st.W).at[0].set(hx),
-                jnp.asarray(1, st.size.dtype),
-            )
-
-        V, W, size = jax.lax.cond(
-            restart, do_restart, lambda _: (st.V, st.W, st.size), None
-        )
+        V = jnp.where(restart, jnp.zeros_like(st.V).at[0].set(x), st.V)
+        W = jnp.where(restart, jnp.zeros_like(st.W).at[0].set(hx), st.W)
+        size = jnp.where(restart, 1, st.size)
 
         t = t - V.T @ (V.conj() @ t)
         tnorm2 = jnp.linalg.norm(t)

@@ -216,20 +216,39 @@ def single_sweep(mps, mpo, environ, omega, percent, last_opt_e_idx):
     return micro_iteration_result, res_mps, mpo
 
 
+_DEVICE_MASK_CACHE = {}
+
+
+def device_mask(qn_mask: np.ndarray):
+    """Device copy of a boolean qn mask, cached by content.
+
+    At steady state the same masks recur every sweep; re-uploading ~MB-sized
+    masks per site update costs a host->device transfer each on tunneled
+    TPUs."""
+    key = (qn_mask.shape, hash(qn_mask.tobytes()))
+    hit = _DEVICE_MASK_CACHE.get(key)
+    if hit is None:
+        if len(_DEVICE_MASK_CACHE) > 512:
+            _DEVICE_MASK_CACHE.clear()
+        hit = jnp.asarray(qn_mask.ravel())
+        _DEVICE_MASK_CACHE[key] = hit
+    return hit
+
+
 def _mask_flat_idx(qn_mask):
     return jnp.asarray(np.nonzero(qn_mask.ravel())[0])
 
 
 def sign_fix(c, nroots):
     """Fix the eigenvector gauge (largest element positive)
-    (reference ``gs.py:372-380``)."""
+    (reference ``gs.py:372-380``).  Device-side: pulling the full vector to
+    the host costs a second bulk transfer per site update."""
     if nroots > 1:
         if isinstance(c, list):
-            return [ci / np.sign(np.asarray(ci)[np.abs(np.asarray(ci)).argmax()]) for ci in c]
-        idx = np.abs(np.asarray(c)).argmax(axis=0)
-        return c / np.sign(np.asarray(c)[idx, range(c.shape[1])])
-    c_np = np.asarray(c)
-    return c / np.sign(c_np[np.abs(c_np).argmax()])
+            return [ci / jnp.sign(ci[jnp.abs(ci).argmax()]) for ci in c]
+        idx = jnp.abs(c).argmax(axis=0)
+        return c / jnp.sign(c[idx, jnp.arange(c.shape[1])])
+    return c / jnp.sign(c.ravel()[jnp.abs(c).argmax()])
 
 
 def get_ham_direct(mps, qn_mask, ltensor, rtensor, cmo, omega):
@@ -320,7 +339,7 @@ def eigh_iterative(mps, qn_mask, ltensor, rtensor, cmo, omega, cguess):
                                          omega is not None)
             e, c, niter = davidson_fused(
                 formula, operands, qn_mask.shape, cguess[0], hdiag,
-                qn_mask, inverse=inverse, tol=tol, max_cycle=100,
+                device_mask(qn_mask), inverse=inverse, tol=tol, max_cycle=100,
             )
         else:
             hdiag_eff = jnp.where(mask_flat, hdiag, 1e10)

@@ -408,3 +408,51 @@ def test_spectra_finitet_abs():
             B = U.conj().T @ B @ Ugs.conj().T
         oracle.append(np.trace(B.conj().T @ K))
     assert np.abs(ac - np.array(oracle)).max() < 1e-8
+
+
+def test_property_thermal_equilibrium():
+    """Property collection during imaginary-time evolution: electron RDM and
+    e-ph static correlation vs the dense thermal ensemble
+    (protocol mirrors reference ``property/tests/test_polaron_structure.py``)."""
+    import scipy.linalg
+    from renormalizer_tpu.mps import MpDm, ThermalProp
+    from renormalizer_tpu.property import Property, ops as prop_ops
+
+    ph = Phonon.simple_phonon(Quantity(1.0), Quantity(0.6), 3)
+    model = HolsteinModel([Mol(Quantity(0.0), [ph], 1.0)] * 3, Quantity(0.1))
+    prop_mpos = {}
+    for imol in range(3):
+        prop_mpos.update(prop_ops.e_ph_static_correlation(model, imol=imol))
+    prop = Property(list(prop_mpos.keys()) + ["e_rdm"], prop_mpos)
+    beta = Quantity(1500.0, "K").to_beta()
+    mpdm = MpDm.max_entangled_ex(model)
+    td = ThermalProp(mpdm, evolve_config=EvolveConfig(EvolveMethod.tdvp_ps),
+                     properties=prop)
+    td.evolve(None, 10, beta / 2j)
+
+    h = dense_hamiltonian(model)
+    dims = model.pbond_list
+    qn = np.array([
+        sum(model.basis[i].sigmaqn[np.unravel_index(s, dims)[i]][0]
+            for i in range(len(dims)))
+        for s in range(h.shape[0])
+    ])
+    s1 = np.nonzero(qn == 1)[0]
+    rho = scipy.linalg.expm(-beta * h[np.ix_(s1, s1)])
+    rho /= np.trace(rho)
+
+    rdm = np.array(np.asarray(prop.prop_res["e_rdm"][-1]), dtype=float)
+    rdm_d = np.zeros((3, 3))
+    for i, di in enumerate(model.e_dofs):
+        for j, dj in enumerate(model.e_dofs):
+            o = dense_hamiltonian(
+                Model(model.basis, [Op(r"a^\dagger a", [di, dj], 1.0)])
+            )[np.ix_(s1, s1)]
+            rdm_d[i, j] = float(np.real(np.trace(rho @ o)))
+    assert np.abs(rdm - rdm_d).max() < 1e-4
+
+    for key, mpo in prop_mpos.items():
+        od = np.asarray(mpo.todense())[np.ix_(s1, s1)]
+        oracle = float(np.real(np.trace(rho @ od)))
+        val = float(np.real(complex(np.asarray(prop.prop_res[key][-1]))))
+        assert abs(val - oracle) < 1e-4, key

@@ -122,8 +122,11 @@ def test_optimize_ttns(tree_kind):
     )
 
 
-def test_ttns_evolve_tdvp_ps():
-    """Tree TDVP-PS vs dense expm on the tiny Holstein model."""
+@pytest.mark.parametrize("method", [
+    EvolveMethod.tdvp_ps, EvolveMethod.tdvp_ps2, EvolveMethod.tdvp_vmf,
+])
+def test_ttns_evolve(method):
+    """Tree TDVP variants vs dense expm on the tiny Holstein model."""
     import scipy.linalg
 
     model = exact_model()
@@ -132,7 +135,12 @@ def test_ttns_evolve_tdvp_ps():
     # initial state: electron on dof 0
     ttns = TTNS(basis_tree, condition={0: 1})
     ttns = ttns.expand_bond_dimension(ttno)
-    ttns.evolve_config = EvolveConfig(EvolveMethod.tdvp_ps)
+    ttns.evolve_config = EvolveConfig(method)
+    if method is EvolveMethod.tdvp_ps2:
+        # 2-site splitting: tighten truncation so the splitting error
+        # (not the truncation error) dominates, as in the MPS test
+        from renormalizer_tpu.utils import CompressConfig
+        ttns.compress_config = CompressConfig(threshold=1e-7)
     psi0 = ttns.todense(order=model.basis).ravel().astype(complex)
     h = dense_hamiltonian(model)
 
@@ -165,3 +173,28 @@ def test_ttns_add():
         s.todense(order=model.basis), a.todense(order=model.basis) + b.todense(order=model.basis),
         atol=1e-10,
     )
+
+
+@pytest.mark.parametrize("tree_kind", ["t3ns", "binary_mctdh"])
+def test_ttno_more_topologies(tree_kind):
+    model = heisenberg_model(4)
+    basis_tree = getattr(BasisTree, tree_kind)(model.basis)
+    ttno = TTNO(basis_tree, model.ham_terms)
+    assert np.allclose(
+        ttno.todense(order=model.basis), dense_hamiltonian(model), atol=1e-10
+    )
+
+
+def test_ttns_dump_load(tmp_path):
+    model = exact_model()
+    basis_tree = BasisTree.binary(model.basis)
+    ttns = TTNS.random(basis_tree, 1, 8)
+    p = str(tmp_path / "ttns.npz")
+    ttns.dump(p)
+    ttns2 = TTNS.load(basis_tree, p)
+    assert np.allclose(
+        ttns.todense(order=model.basis), ttns2.todense(order=model.basis), atol=1e-12
+    )
+    ttno = TTNO(basis_tree, model.ham_terms)
+    p2 = str(tmp_path / "ttno.npz")
+    ttno.dump(p2)
