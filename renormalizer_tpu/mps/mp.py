@@ -497,9 +497,16 @@ class MatrixProduct:
         averaged_ms = None
         if not isinstance(cstruct, list):
             if self.compress_config.ofs is None:
-                Uset, SUset, qnlnew, Vset, SVset, qnrnew = svd_qn.svd_qn(
-                    cstruct, qnbigl, qnbigr, self.qntot, system=system
-                )
+                res = None
+                if percent == 0 and svd_qn.device_svd_enabled():
+                    # steady-state fast path: one fused device SVD, KB-sized
+                    # metadata transfer, no complement padding needed
+                    res = svd_qn.svd_qn_device(cstruct, qnbigl, qnbigr, self.qntot)
+                if res is None:
+                    res = svd_qn.svd_qn(
+                        cstruct, qnbigl, qnbigr, self.qntot, system=system
+                    )
+                Uset, SUset, qnlnew, Vset, SVset, qnrnew = res
             else:
                 (Uset, SUset, qnlnew, Vset, SVset, qnrnew), cstruct, qnbigl, qnbigr = \
                     self._ofs_select(cstruct, cidx, qnbigl, qnbigr, system)
