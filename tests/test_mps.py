@@ -261,3 +261,49 @@ def test_ofs():
     energies, mps_opt = optimize_mps(mps.copy(), mpo)
     assert abs(energies[-1] - GS_E) / GS_E < 1e-5
     assert abs(mps_opt.expectation(Mpo(mps_opt.model)) - GS_E) / GS_E < 1e-5
+
+
+def test_thermalprop_checkpoint(tmp_path):
+    """TdMpsJob dump + thermal-state reload round trip."""
+    import os
+    from renormalizer_tpu.mps import MpDm, ThermalProp
+    from renormalizer_tpu.mps.thermalprop import load_thermal_state
+    from renormalizer_tpu.utils import EvolveConfig, EvolveMethod
+
+    model = exact_model()
+    mpdm = MpDm.max_entangled_ex(model)
+    tp = ThermalProp(mpdm, evolve_config=EvolveConfig(EvolveMethod.tdvp_ps),
+                     dump_dir=str(tmp_path), job_name="ckpt")
+    tp.evolve(None, 4, 2.0 / 2j)
+    # job dict dumped atomically
+    dump = np.load(tmp_path / "ckpt.npz", allow_pickle=True)
+    assert "energies" in dump or "time series" in dump
+    # state checkpoint round trip
+    path = str(tmp_path / "state.npz")
+    tp.latest_mps.dump(path)
+    loaded = load_thermal_state(model, path)
+    assert loaded is not None
+    assert np.allclose(loaded.todense(), tp.latest_mps.todense(), atol=1e-10)
+    # missing file -> None (no crash)
+    assert load_thermal_state(model, str(tmp_path / "nothing.npz")) is None
+
+
+def test_dmrg_fci_solver():
+    """PySCF-style FCI solver: energy reconstructed exactly from its own
+    1- and 2-RDMs, rdm1 trace = nelec."""
+    from renormalizer_tpu.mps.gs import DmrgFCISolver
+
+    rng = np.random.default_rng(3)
+    n = 2
+    h1 = rng.standard_normal((n, n))
+    h1 = (h1 + h1.T) / 2
+    c = rng.standard_normal((3, n, n))
+    c = (c + c.transpose(0, 2, 1)) / 2
+    h2 = np.einsum("mij,mkl->ijkl", c, c) * 0.3
+    solver = DmrgFCISolver()
+    e, _ = solver.kernel(h1, h2, n, (1, 1))
+    rdm1 = np.asarray(solver.make_rdm1(None, n, (1, 1)))
+    rdm2 = np.asarray(solver.make_rdm2(None, n, (1, 1)))
+    assert abs(np.trace(rdm1) - 2) < 1e-8
+    e_rdm = np.einsum("ij,ij->", h1, rdm1) + 0.5 * np.einsum("ijkl,ijkl->", h2, rdm2)
+    assert abs(e_rdm - e) < 1e-8
