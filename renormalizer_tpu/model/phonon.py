@@ -20,6 +20,14 @@ def _single_signed(array) -> bool:
     )
 
 
+def all_positive_or_all_negative(array) -> bool:
+    """True when all entries share a sign (zeros allowed)."""
+    array = np.asarray(array)
+    zeroish = np.isclose(array, 0)
+    return bool(np.logical_or(array <= 0, zeroish).all()
+                or np.logical_or(0 <= array, zeroish).all())
+
+
 class Phonon:
     """A single phonon mode: omega/displacement pairs for two PES."""
 

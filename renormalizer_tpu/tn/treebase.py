@@ -294,3 +294,34 @@ class BasisTree(Tree):
             node2_list.append(TreeNodeBasis(basis2))
         copy_connection(self.node_list, node2_list)
         return BasisTree(node2_list[0])
+
+
+def print_as_tree(text_list, adj_matrix, print_function=print):
+    """ASCII rendering of an arbitrary tree given node texts and an adjacency
+    matrix (reference ``treebase.py:408-420``)."""
+    import numpy as np
+
+    adj = np.asarray(adj_matrix)
+    n = len(text_list)
+    children = {i: [] for i in range(n)}
+    indeg = [0] * n
+    for i in range(n):
+        for j in range(n):
+            if adj[i][j]:
+                children[i].append(j)
+                indeg[j] += 1
+    roots = [i for i in range(n) if indeg[i] == 0]
+    assert len(roots) == 1, "adjacency matrix must define a single-rooted tree"
+
+    def recursion(idx, prefix, is_last):
+        connector = "└── " if is_last else "├── "
+        if prefix == "" and is_last and idx == roots[0]:
+            print_function(str(text_list[idx]))
+            child_prefix = ""
+        else:
+            print_function(prefix + connector + str(text_list[idx]))
+            child_prefix = prefix + ("    " if is_last else "│   ")
+        for k, c in enumerate(children[idx]):
+            recursion(c, child_prefix, k == len(children[idx]) - 1)
+
+    recursion(roots[0], "", True)

@@ -17,3 +17,6 @@ from renormalizer_tpu.utils.utils import (
 )
 from renormalizer_tpu.utils import log
 from renormalizer_tpu.utils.tdmps import TdMpsJob
+
+from renormalizer_tpu.utils.configs import parse_memory_limit
+from renormalizer_tpu.utils import elementop

@@ -32,3 +32,15 @@ def register_file_output(file_path, mode="w", level=logging.DEBUG):
 
 
 init_log()
+
+
+def getLogger(name=None):
+    """Compatibility helper mirroring the reference public API."""
+    return logging.getLogger(name)
+
+
+def disable_stream_output():
+    root = logging.getLogger()
+    for h in list(root.handlers):
+        if isinstance(h, logging.StreamHandler) and not isinstance(h, logging.FileHandler):
+            root.removeHandler(h)
