@@ -338,16 +338,12 @@ def svd_qn_device(coef_array, qnbigl, qnbigr, qntot):
 
 
 def device_svd_enabled() -> bool:
-    """Device truncation policy: ``RENO_DEVICE_SVD=1/0`` forces, ``auto``
-    (default) enables on accelerator backends only."""
+    """Device truncation policy: ``RENO_DEVICE_SVD=1`` opts in.
+
+    Benchmarked OFF by default: TPU's QDWH-based SVD of the full (l*d, d*r)
+    matrix takes seconds at M=256 — far slower than one bulk transfer plus
+    host LAPACK (the measured steady-state sweep regressed 8.3 s -> 48 s).
+    The path is kept for future hardware/XLA SVD improvements."""
     import os
 
-    flag = os.environ.get("RENO_DEVICE_SVD", "auto")
-    if flag == "1":
-        return True
-    if flag == "0":
-        return False
-    try:
-        return backend.jax.default_backend() != "cpu"
-    except Exception:
-        return False
+    return os.environ.get("RENO_DEVICE_SVD", "0") == "1"
