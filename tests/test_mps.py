@@ -307,3 +307,34 @@ def test_dmrg_fci_solver():
     assert abs(np.trace(rdm1) - 2) < 1e-8
     e_rdm = np.einsum("ij,ij->", h1, rdm1) + 0.5 * np.einsum("ijkl,ijkl->", h2, rdm2)
     assert abs(e_rdm - e) < 1e-8
+
+
+def test_intersite_and_exact_propagator():
+    """Mpo.intersite matches the dense operator; exact_propagator matches
+    expm of the pure-phonon Hamiltonian in GS space."""
+    import scipy.linalg
+    from renormalizer_tpu.utils import Quantity
+
+    model = exact_model()
+    # intersite: J a_0^dagger a_2
+    mpo = Mpo.intersite(model, {0: r"a^\dagger", 2: "a"}, {}, Quantity(0.3))
+    dense = dense_hamiltonian(Model(model.basis, [Op(r"a^\dagger a", [0, 2], 0.3)]))
+    assert np.allclose(mpo.todense(), dense, atol=1e-10)
+
+    # exact propagator in GS space: e^{x * H_ph}
+    x = -0.37
+    prop = Mpo.exact_propagator(model, x, space="GS")
+    hph = dense_hamiltonian(
+        Model(model.basis, [Op(r"b^\dagger b", d, 1.0) for d in model.v_dofs])
+    )
+    # restrict comparison to the 0-exciton sector where the propagator acts
+    dims = model.pbond_list
+    qn = np.array([
+        sum(model.basis[i].sigmaqn[np.unravel_index(s, dims)[i]][0]
+            for i in range(len(dims)))
+        for s in range(hph.shape[0])
+    ])
+    s0 = np.nonzero(qn == 0)[0]
+    dense_prop = np.asarray(prop.todense())[np.ix_(s0, s0)]
+    oracle = scipy.linalg.expm(x * hph[np.ix_(s0, s0)])
+    assert np.allclose(dense_prop, oracle, atol=1e-8)
