@@ -53,8 +53,9 @@ def bench_tpu():
 
     mpo = Mpo(model)
     mps = Mps.random(model, 1, M, percent=1.0)
-    # warm-up procedure reaches M quickly, then fixed-M sweeps are measured
-    warm = [[M, 0.4], [M, 0.2]]
+    # warm-up procedure reaches M quickly; the final percent=0 warm sweep
+    # compiles the steady-state shapes so the measured sweeps are compile-free
+    warm = [[M, 0.4], [M, 0.2], [M, 0]]
     measured = [[M, 0]] * NSWEEPS_MEASURE
 
     mps.optimize_config.procedure = warm
