@@ -20,3 +20,4 @@ from renormalizer_tpu.utils.tdmps import TdMpsJob
 
 from renormalizer_tpu.utils.configs import parse_memory_limit
 from renormalizer_tpu.utils import elementop
+from renormalizer_tpu.utils import oracle

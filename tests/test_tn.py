@@ -198,3 +198,55 @@ def test_ttns_dump_load(tmp_path):
     ttno = TTNO(basis_tree, model.ham_terms)
     p2 = str(tmp_path / "ttno.npz")
     ttno.dump(p2)
+
+
+def test_partial_ttno():
+    """TTNO over a subset of dofs applied to a TTNS on an auxiliary-doubled
+    tree equals the identity-extended TTNO (the thermofield machinery)."""
+    model = heisenberg_model(4)
+    basis_tree = BasisTree.binary(model.basis)
+    basis_tree2 = basis_tree.add_auxiliary_space()
+    ttns = TTNS.random(basis_tree2, 0, 4)
+    ttno = TTNO(basis_tree, model.ham_terms)
+    ttno2 = TTNO(basis_tree2, model.ham_terms)
+    a = ttno.apply(ttns)
+    b = ttno2.apply(ttns)
+    assert np.allclose(a.todense(), b.todense(), atol=1e-10)
+    assert np.isclose(ttns.expectation(ttno), ttns.expectation(ttno2))
+
+
+def test_ttns_entropy():
+    """Bond entropy equals 1-site entropy at leaf nodes."""
+    model = exact_model()
+    basis_tree = BasisTree.binary(model.basis)
+    ttns = TTNS.random(basis_tree, 1, 8)
+    bond_entropy = ttns.calc_bond_entropy()
+    site1_entropy = ttns.calc_1site_entropy()
+    checked = 0
+    for i, node in enumerate(ttns.node_list):
+        if not node.children:
+            assert np.isclose(bond_entropy[i], site1_entropy[i], atol=1e-8)
+            checked += 1
+    assert checked > 0
+
+
+def test_ttns_thermofield():
+    """Thermofield max-entangled excited TTNS: normalized, uniform electron
+    occupations at infinite temperature, energy conserved under TDVP."""
+    from renormalizer_tpu.tn import max_entangled_ex
+
+    model = exact_model()
+    tree2 = BasisTree.binary(model.basis).add_auxiliary_space()
+    hot = max_entangled_ex(tree2)
+    assert np.isclose(hot.ttns_norm, 1)
+    occ_ttnos = [TTNO(tree2, [Op(r"a^\dagger a", dof)]) for dof in model.e_dofs]
+    occ0 = np.array([hot.expectation(o) for o in occ_ttnos])
+    assert np.allclose(occ0, 1 / len(model.e_dofs), atol=1e-10)
+    ttno = TTNO(tree2, model.ham_terms)
+    hot = hot.expand_bond_dimension(ttno)
+    hot.evolve_config = EvolveConfig(EvolveMethod.tdvp_ps)
+    e0 = hot.expectation(ttno)
+    for _ in range(3):
+        hot = hot.evolve(ttno, 4.0)
+    assert abs(hot.expectation(ttno) - e0) < 1e-6
+    assert abs(hot.ttns_norm - 1) < 1e-8
