@@ -406,10 +406,21 @@ def expm_krylov(hop: Callable, dt, v0, max_m: int = 30, tol: float = 1e-12):
 
 
 @lru_cache(maxsize=None)
-def _expm_factory(formula: str, cshape: Tuple[int, ...], max_m: int):
+def _expm_factory(formula: str, cshape: Tuple[int, ...], max_m: int,
+                  mesh=None, operand_shapes=None):
+    sharded_hop = None
+    if mesh is not None:
+        from renormalizer_tpu.parallel.hop import sharded_hop_factory
+
+        sharded_hop = sharded_hop_factory(mesh, formula, operand_shapes, cshape)
+
     @jax.jit
     def fused(dt, c0, *operands):
-        hop = _einsum_hop(formula, operands, cshape)
+        if sharded_hop is not None:
+            def hop(v):
+                return sharded_hop(*operands, v)
+        else:
+            hop = _einsum_hop(formula, operands, cshape)
         w, _ = _lanczos_expm(hop, dt, c0.ravel(), max_m)
         return w.reshape(cshape)
 
@@ -419,10 +430,19 @@ def _expm_factory(formula: str, cshape: Tuple[int, ...], max_m: int):
 def expm_krylov_fused(formula, operands, dt, c0, max_m: int = 30):
     """Fully jitted Lanczos expm of an einsum-defined effective Hamiltonian,
     cached per (formula, shape).  The entire local propagation is one XLA
-    computation: zero host round-trips and no per-call retracing."""
+    computation: zero host round-trips and no per-call retracing.
+
+    With a global mesh installed (``parallel.set_global_mesh``) the matvec
+    is bond-tensor-parallel when the bond dimensions divide the mesh."""
+    from renormalizer_tpu.parallel.mesh import get_global_mesh
+
     c0 = jnp.asarray(c0)
     m = int(min(max_m, c0.size))
-    fn = _expm_factory(formula, tuple(c0.shape), m)
+    mesh = get_global_mesh()
+    operand_shapes = (
+        tuple(tuple(np.shape(o)) for o in operands) if mesh is not None else None
+    )
+    fn = _expm_factory(formula, tuple(c0.shape), m, mesh, operand_shapes)
     return fn(jnp.asarray(dt), c0, *[jnp.asarray(o) for o in operands])
 
 

@@ -7,7 +7,7 @@ import pytest
 from fixtures import dense_hamiltonian
 
 import renormalizer_tpu.parallel as par
-from renormalizer_tpu import BasisHalfSpin, Model, Mpo, Mps
+from renormalizer_tpu import BasisHalfSpin, Model, Mpo, Mps, Op
 from renormalizer_tpu.model import heisenberg_ops
 from renormalizer_tpu.mps.gs import optimize_mps
 from renormalizer_tpu.utils import OptimizeConfig
@@ -80,3 +80,27 @@ def test_dmrg_with_global_mesh(mesh22):
     e_exact = np.linalg.eigvalsh(dense_hamiltonian(model))[0]
     assert abs(e - e_exact) < 1e-7
     assert calls["sharded"] > 0, "no site update was actually sharded"
+
+
+def test_tdvp_with_global_mesh(mesh22):
+    """TDVP-PS with the global mesh reproduces single-device dynamics."""
+    from renormalizer_tpu.utils import EvolveConfig, EvolveMethod
+
+    nspin = 10
+    model = Model([BasisHalfSpin(i) for i in range(nspin)], heisenberg_ops(nspin))
+    mpo = Mpo(model)
+
+    def run():
+        mps = Mps.hartree_product_state(
+            model, {i: (1 if i % 2 == 0 else 0) for i in range(nspin)}
+        )
+        mps = mps.expand_bond_dimension(hint_mpo=mpo)
+        mps.evolve_config = EvolveConfig(EvolveMethod.tdvp_ps)
+        for _ in range(3):
+            mps = mps.evolve(mpo, 0.2)
+        return np.array(mps.expectations([Op("Z", i) for i in range(nspin)]))
+
+    with_mesh = run()
+    par.set_global_mesh(None)
+    without = run()
+    assert np.allclose(with_mesh, without, atol=1e-8)
