@@ -38,6 +38,8 @@ def optimize_mps(mps: Mps, mpo: Union[Mpo, StackedMpo], omega: float = None) -> 
     ``omega`` targets interior eigenpairs by optimizing (H - omega)^2.
     Returns (macro-sweep energies, optimized MPS).
     """
+    from renormalizer_tpu.utils.profiling import maybe_profile
+
     assert mps.optimize_config.method in ("2site", "1site")
     logger.info(f"optimization method: {mps.optimize_config.method}")
     logger.info(f"procedure: {mps.optimize_config.procedure}")
@@ -65,6 +67,8 @@ def optimize_mps(mps: Mps, mpo: Union[Mpo, StackedMpo], omega: float = None) -> 
     macro_iteration_result = []
     opt_e_idx = None
     res_mps: Union[Mps, List[Mps]] = None
+    profile_ctx = maybe_profile("dmrg")
+    profile_ctx.__enter__()
     for isweep, (compress_config, percent) in enumerate(mps.optimize_config.procedure):
         logger.debug(f"isweep: {isweep}")
         if isinstance(compress_config, CompressConfig):
@@ -97,6 +101,7 @@ def optimize_mps(mps: Mps, mpo: Union[Mpo, StackedMpo], omega: float = None) -> 
     else:
         logger.warning("DMRG did not converge! Please increase the procedure!")
         logger.info(f"Lowest two energies: {sorted(macro_iteration_result)[:2]}.")
+    profile_ctx.__exit__(None, None, None)
 
     assert res_mps is not None
     if mps.optimize_config.nroots == 1:
