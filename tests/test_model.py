@@ -262,3 +262,20 @@ def test_quantity():
     q = Quantity(1, "eV")
     assert np.isclose(q.as_au(), 0.0367493, rtol=1e-3)
     assert np.isclose(Quantity(300, "K").to_beta(), 1052.58, rtol=1e-3)
+
+
+def test_load_from_dict():
+    """YAML-style parameter dict -> HolsteinModel round trip."""
+    from renormalizer_tpu.model.model import load_from_dict
+    from renormalizer_tpu.utils import Quantity
+
+    param = {
+        "temperature": [300, "K"],
+        "ph modes": [[[1400, "cm-1"], [17.0, "a.u."]]],
+        "j constant": [-0.1, "eV"],
+        "mol num": 3,
+    }
+    model, temperature = load_from_dict(param, 3, lam=False)
+    assert len(model.e_dofs) == 3
+    assert np.isclose(temperature.as_au(), Quantity(300, "K").as_au())
+    assert np.isclose(model.j_constant, Quantity(-0.1, "eV").as_au())
