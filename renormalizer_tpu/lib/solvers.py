@@ -141,15 +141,14 @@ _OUT_OF_SECTOR = 1e10
 @lru_cache(maxsize=None)
 def _davidson_factory(formula: str, cshape: Tuple[int, ...], inverse: float,
                       tol: float, max_cycle: int, max_space: int,
-                      mesh=None, operand_shapes=None):
+                      mesh=None, operand_shapes=None, diag_mode: str = None):
     sharded_hop = None
     if mesh is not None:
         from renormalizer_tpu.parallel.hop import sharded_hop_factory
 
         sharded_hop = sharded_hop_factory(mesh, formula, operand_shapes, cshape)
 
-    @jax.jit
-    def fused(x0_full, hdiag_full, mask, *operands):
+    def _solve(x0_full, hdiag_full, mask, operands):
         if sharded_hop is not None:
             def hop_raw(v):
                 return sharded_hop(*operands, v)
@@ -170,11 +169,33 @@ def _davidson_factory(formula: str, cshape: Tuple[int, ...], inverse: float,
         x0 = jnp.where(mask, x0_full, 0)
         return _davidson_core(hop, x0, hdiag, tol, max_cycle, max_space)
 
+    if diag_mode is None:
+        @jax.jit
+        def fused(x0_full, hdiag_full, mask, *operands):
+            return _solve(x0_full, hdiag_full, mask, operands)
+    else:
+        # hdiag computed inside the same dispatch (one fewer host round trip
+        # per site update)
+        from renormalizer_tpu.ops.contract import hop_diag
+
+        nsite = 1 if diag_mode.startswith("1") else 2
+        twolayer = diag_mode.endswith("2l")
+
+        @jax.jit
+        def fused(x0_full, mask, *operands):
+            if twolayer:
+                cmo = [operands[1]] if nsite == 1 else [operands[1], operands[3]]
+            else:
+                cmo = list(operands[1:-1])
+            hdiag_full = hop_diag(operands[0], operands[-1], cmo, twolayer).ravel()
+            return _solve(x0_full, hdiag_full, mask, operands)
+
     return fused
 
 
 def davidson_fused(formula, operands, cshape, x0_full, hdiag_full, mask,
-                   inverse=1.0, tol=1e-10, max_cycle=100, max_space=12):
+                   inverse=1.0, tol=1e-10, max_cycle=100, max_space=12,
+                   diag_mode: str = None):
     """Fully jitted qn-masked Davidson in the FULL local space, cached per
     (formula, shape).
 
@@ -192,7 +213,13 @@ def davidson_fused(formula, operands, cshape, x0_full, hdiag_full, mask,
         tuple(tuple(np.shape(o)) for o in operands) if mesh is not None else None
     )
     fn = _davidson_factory(formula, tuple(cshape), float(inverse), float(tol),
-                           int(max_cycle), int(max_space), mesh, operand_shapes)
+                           int(max_cycle), int(max_space), mesh, operand_shapes,
+                           diag_mode)
+    if diag_mode is not None:
+        assert hdiag_full is None
+        return fn(
+            jnp.asarray(x0_full).ravel(), jnp.asarray(mask).ravel(), *operands
+        )
     return fn(
         jnp.asarray(x0_full).ravel(), jnp.asarray(hdiag_full).ravel(),
         jnp.asarray(mask).ravel(), *operands

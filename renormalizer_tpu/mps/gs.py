@@ -308,6 +308,7 @@ def eigh_iterative(mps, qn_mask, ltensor, rtensor, cmo, omega, cguess):
     (reference ``gs.py:486-576``)."""
     inverse = mps.optimize_config.inverse
     stacked = isinstance(ltensor, list) and not isinstance(cmo[0], (jnp.ndarray, np.ndarray))
+    nroots_ = mps.optimize_config.nroots
     if stacked:
         hams = [
             get_ham_iterative(mps, qn_mask, lt, rt, cm, omega)
@@ -315,10 +316,12 @@ def eigh_iterative(mps, qn_mask, ltensor, rtensor, cmo, omega, cguess):
         ]
         hdiag = sum(h for h, _ in hams)
         expr = func_sum([e for _, e in hams])
+    elif nroots_ == 1:
+        hdiag = expr = None  # computed inside the fused davidson dispatch
     else:
         hdiag, expr = get_ham_iterative(mps, qn_mask, ltensor, rtensor, cmo, omega)
 
-    mask_flat = jnp.asarray(qn_mask.ravel())
+    mask_flat = device_mask(qn_mask)
     mask_shape = qn_mask.shape
 
     def hop(x):
@@ -342,9 +345,13 @@ def eigh_iterative(mps, qn_mask, ltensor, rtensor, cmo, omega, cguess):
             # fully fused path: one cached XLA computation per (formula, shape)
             formula, operands = hop_spec(ltensor, rtensor, cmo, qn_mask.shape,
                                          omega is not None)
+            diag_mode = ("1" if len(cmo) == 1 else "2") + (
+                "2l" if omega is not None else ""
+            )
             e, c, niter = davidson_fused(
-                formula, operands, qn_mask.shape, cguess[0], hdiag,
+                formula, operands, qn_mask.shape, cguess[0], None,
                 device_mask(qn_mask), inverse=inverse, tol=tol, max_cycle=100,
+                diag_mode=diag_mode,
             )
         else:
             hdiag_eff = jnp.where(mask_flat, hdiag, 1e10)

@@ -60,6 +60,36 @@ def _orthonormal_complement(u, n_extra):
     return np.concatenate([u, q], axis=1)
 
 
+_MASK_IDX_CACHE = {}
+
+
+def _fetch_masked(coef_array, localqnl, localqnr, qntot, m, n):
+    """Device->host fetch of the coefficient matrix, transferring only the
+    in-sector entries when the array lives on device and the sector fills
+    <70% of the matrix."""
+    if isinstance(coef_array, np.ndarray):
+        return coef_array.reshape(m, n)
+    mask = get_qn_mask(
+        localqnl[:, None, :] + localqnr[None, :, :], qntot
+    )
+    idx = np.nonzero(mask.ravel())[0]
+    if len(idx) > 0.7 * m * n:
+        return np.asarray(coef_array).reshape(m, n)
+    import jax.numpy as jnp
+
+    key = (m, n, hash(idx.tobytes()))
+    didx = _MASK_IDX_CACHE.get(key)
+    if didx is None:
+        if len(_MASK_IDX_CACHE) > 256:
+            _MASK_IDX_CACHE.clear()
+        didx = jnp.asarray(idx)
+        _MASK_IDX_CACHE[key] = didx
+    flat = np.asarray(jnp.asarray(coef_array).ravel()[didx])
+    mat = np.zeros(m * n, dtype=flat.dtype)
+    mat[idx] = flat
+    return mat.reshape(m, n)
+
+
 def _sector_indices(localqnl, localqnr, qntot):
     """Host-side sector map: list of (nl, lset, rset) with both sides
     non-empty."""
@@ -98,8 +128,10 @@ def svd_qn(
     localqnl = np.asarray(qnbigl).reshape(-1, qn_size)
     localqnr = np.asarray(qnbigr).reshape(-1, qn_size)
     m, n = len(localqnl), len(localqnr)
-    # ONE bulk device->host transfer; everything below is LAPACK
-    mat = np.asarray(coef_array).reshape(m, n)
+    # ONE device->host transfer; when the in-sector fraction is small enough,
+    # gather only the in-sector entries on device and scatter on the host
+    # (out-of-sector entries are exact zeros by construction)
+    mat = _fetch_masked(coef_array, localqnl, localqnr, qntot, m, n)
 
     sectors = _sector_indices(localqnl, localqnr, qntot)
     if len(sectors) == 0:
