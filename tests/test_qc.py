@@ -85,3 +85,28 @@ def test_read_fcidump(tmp_path):
     assert np.allclose(sh, sh_ref)
     assert np.allclose(aseri, aseri_ref)
     assert nuc == 42.25
+
+
+H2O_FCIDUMP = "/root/reference/example/h2o_fcidump.txt"
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(H2O_FCIDUMP),
+                    reason="H2O FCIDUMP data not available")
+def test_qc_dmrg_h2o():
+    """H2O/STO-3G QC-DMRG vs the published FCI energy -75.008697516450
+    (regression oracle of reference ``example/h2o_qc.py:47-60``); the FCIDUMP
+    integrals are read from the reference checkout as external data."""
+    from renormalizer_tpu.utils import OptimizeConfig
+
+    h1e, h2e, nuc = read_fcidump(H2O_FCIDUMP, 7)
+    basis, ham_terms = qc_model(h1e, h2e)
+    model = Model(basis, ham_terms)
+    M = 50
+    mps = Mps.random(model, [5, 5], M, percent=1.0)
+    mps.optimize_config = OptimizeConfig(
+        procedure=[[M, 0.4], [M, 0.2], [M, 0.1]] + [[M, 0]] * 6
+    )
+    mps.optimize_config.method = "2site"
+    energies, _ = optimize_mps(mps, Mpo(model))
+    e = min(float(np.min(np.asarray(x))) for x in energies) + nuc
+    assert abs(e - -75.008697516450) < 1e-8
