@@ -332,9 +332,39 @@ def eigh_iterative(mps, qn_mask, ltensor, rtensor, cmo, omega, cguess):
 
     nroots = mps.optimize_config.nroots
     algo = mps.optimize_config.algo
+    if algo == "arpack":
+        # host Lanczos (scipy eigsh) over the masked subspace; mainly for
+        # cross-validation of the fused device Davidson
+        import scipy.sparse.linalg
+
+        if stacked:
+            hd, ex = hdiag, expr
+        else:
+            hd, ex = get_ham_iterative(mps, qn_mask, ltensor, rtensor, cmo, omega)
+        idx = np.nonzero(np.asarray(qn_mask).ravel())[0]
+        dim = qn_mask.size
+        shape = qn_mask.shape
+
+        def matvec(x):
+            full = np.zeros(dim, dtype=x.dtype)
+            full[idx] = x
+            out = np.asarray(ex(jnp.asarray(full).reshape(shape))).ravel()
+            return out[idx] * inverse
+
+        nroots_arp = mps.optimize_config.nroots
+        lo = scipy.sparse.linalg.LinearOperator((len(idx), len(idx)), matvec=matvec)
+        v0 = np.asarray(jnp.asarray(cguess[0]).ravel())[idx]
+        w, v = scipy.sparse.linalg.eigsh(lo, k=nroots_arp, which="SA", v0=v0)
+        if nroots_arp == 1:
+            c_full = jnp.zeros(dim).at[jnp.asarray(idx)].set(jnp.asarray(v[:, 0]))
+            return float(w[0]), sign_fix(c_full, 1)
+        cs = [jnp.zeros(dim).at[jnp.asarray(idx)].set(jnp.asarray(v[:, i]))
+              for i in range(nroots_arp)]
+        return np.asarray(w), sign_fix(cs, nroots_arp)
     if algo != "davidson":
         raise NotImplementedError(
-            f"eigensolver algo={algo} is not available; use 'davidson' or 'direct'"
+            f"eigensolver algo={algo} is not available; use 'davidson', "
+            "'arpack' or 'direct'"
         )
     # convergence threshold scaled to the working precision
     from renormalizer_tpu.backend import backend as _backend

@@ -338,3 +338,13 @@ def test_intersite_and_exact_propagator():
     dense_prop = np.asarray(prop.todense())[np.ix_(s0, s0)]
     oracle = scipy.linalg.expm(x * hph[np.ix_(s0, s0)])
     assert np.allclose(dense_prop, oracle, atol=1e-8)
+
+
+def test_optimize_arpack():
+    """Host ARPACK eigensolver cross-validates the fused device Davidson."""
+    model = exact_model()
+    mps = Mps.random(model, 1, 16)
+    mps.optimize_config = OptimizeConfig(procedure=[[16, 0.4], [16, 0.2], [16, 0], [16, 0]])
+    mps.optimize_config.algo = "arpack"
+    energies, _ = optimize_mps(mps, Mpo(model))
+    assert abs(min(np.min(np.asarray(e)) for e in energies) - 0.3361574408) < 1e-7
