@@ -96,7 +96,25 @@ class TdMpsJob:
                 f"step {len(self.evolve_times)}/{target_steps}, "
                 f"at time {self.latest_evolve_time}/{target_time} begin."
             )
-            new_mps = self.evolve_single_step(evolve_dt)
+            try:
+                new_mps = self.evolve_single_step(evolve_dt)
+            except Exception:
+                # failure detection: salvage the last good state before
+                # propagating the error (reference dumps on OOM,
+                # ``utils/tdmps.py:150-170``)
+                logger.exception(
+                    f"evolution step {len(self.evolve_times)} failed; "
+                    "dumping the last good state"
+                )
+                if self.dump_dir is not None and self.job_name is not None:
+                    try:
+                        self.latest_mps.dump(
+                            os.path.join(self.dump_dir, self.job_name + "_crash.npz")
+                        )
+                        self.dump_dict()
+                    except Exception:
+                        logger.exception("crash dump failed")
+                raise
             self.evolve_times.append(self.latest_evolve_time + evolve_dt)
             self.process_mps(new_mps)
             self.latest_mps = new_mps

@@ -154,3 +154,27 @@ def test_thermal_prop_exact():
     w = np.exp(-beta * omega * n)
     n_exact = (n * w).sum() / w.sum()
     assert np.allclose(occ, n_exact, atol=1e-4)
+
+
+def test_crash_dump(tmp_path):
+    """A failing evolution step dumps the last good state before raising."""
+    import os
+    from renormalizer_tpu.mps import MpDm, ThermalProp
+
+    mpdm = MpDm.max_entangled_ex(model)
+    tp = ThermalProp(mpdm, evolve_config=EvolveConfig(EvolveMethod.tdvp_ps),
+                     dump_dir=str(tmp_path), job_name="boom")
+    orig = tp.evolve_single_step
+    calls = [0]
+
+    def bad(dt):
+        calls[0] += 1
+        if calls[0] == 3:
+            raise RuntimeError("synthetic OOM")
+        return orig(dt)
+
+    tp.evolve_single_step = bad
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        tp.evolve(None, 5, 2.0 / 2j)
+    assert os.path.exists(tmp_path / "boom_crash.npz")
