@@ -148,7 +148,19 @@ def bench_reference():
 
 
 def main():
-    value, energy, model = bench_tpu()
+    # the tunneled TPU occasionally throws transient runtime errors
+    # (UNIMPLEMENTED / device unavailable); retry once before giving up
+    last_err = None
+    for attempt in range(2):
+        try:
+            value, energy, model = bench_tpu()
+            break
+        except Exception as e:  # pragma: no cover - environment flakiness
+            last_err = e
+            print(f"# bench attempt {attempt} failed: {e}", file=sys.stderr)
+            time.sleep(60)
+    else:
+        raise last_err
     ref = bench_reference()
     vs_baseline = (ref / value) if (ref and value > 0) else None
     result = {
