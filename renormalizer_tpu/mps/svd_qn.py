@@ -64,30 +64,12 @@ _MASK_IDX_CACHE = {}
 
 
 def _fetch_masked(coef_array, localqnl, localqnr, qntot, m, n):
-    """Device->host fetch of the coefficient matrix, transferring only the
-    in-sector entries when the array lives on device and the sector fills
-    <70% of the matrix."""
-    if isinstance(coef_array, np.ndarray):
-        return coef_array.reshape(m, n)
-    mask = get_qn_mask(
-        localqnl[:, None, :] + localqnr[None, :, :], qntot
-    )
-    idx = np.nonzero(mask.ravel())[0]
-    if len(idx) > 0.7 * m * n:
-        return np.asarray(coef_array).reshape(m, n)
-    import jax.numpy as jnp
+    """Device->host fetch of the coefficient matrix.
 
-    key = (m, n, hash(idx.tobytes()))
-    didx = _MASK_IDX_CACHE.get(key)
-    if didx is None:
-        if len(_MASK_IDX_CACHE) > 256:
-            _MASK_IDX_CACHE.clear()
-        didx = jnp.asarray(idx)
-        _MASK_IDX_CACHE[key] = didx
-    flat = np.asarray(jnp.asarray(coef_array).ravel()[didx])
-    mat = np.zeros(m * n, dtype=flat.dtype)
-    mat[idx] = flat
-    return mat.reshape(m, n)
+    A masked variant (gather only the in-sector entries on device) was
+    benchmarked neutral at steady state and adds per-mask compile spikes
+    whenever sector patterns shift, so the plain bulk transfer is used."""
+    return np.asarray(coef_array).reshape(m, n)
 
 
 def _sector_indices(localqnl, localqnr, qntot):
