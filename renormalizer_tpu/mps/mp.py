@@ -503,8 +503,13 @@ class MatrixProduct:
                     # metadata transfer, no complement padding needed
                     res = svd_qn.svd_qn_device(cstruct, qnbigl, qnbigr, self.qntot)
                 if res is None:
+                    # complement padding (zero-singular-value columns) only
+                    # matters when `percent` forces allocation into empty
+                    # sectors; at percent=0 only the top singular vectors are
+                    # kept, and skipping the pads halves the LAPACK cost
                     res = svd_qn.svd_qn(
-                        cstruct, qnbigl, qnbigr, self.qntot, system=system
+                        cstruct, qnbigl, qnbigr, self.qntot, system=system,
+                        full_matrices=(percent != 0),
                     )
                 Uset, SUset, qnlnew, Vset, SVset, qnrnew = res
             else:
