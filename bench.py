@@ -1,14 +1,17 @@
 #!/usr/bin/env python
-"""Headline benchmark: DMRG sweep seconds at M=256 on a Holstein chain.
+"""Headline benchmark: DMRG sweep seconds at M=256 on a Holstein chain,
+plus the two secondary BASELINE.md metrics (TDVP-PS steps/s on the
+spin-boson config and effective-H matvec GFLOP/s with MFU).
 
-Per BASELINE.md the metric is per-sweep wall time of the 2-site DMRG
-optimization at bond dimension 256.  ``vs_baseline`` is the speedup over the
-reference (shuaigroup/Renormalizer, NumPy backend) running the identical
-model/procedure on this host CPU; the reference timing is measured once and
-cached in ``ref_bench.json`` (delete the file to re-measure).
+``vs_baseline`` is the speedup over the reference (shuaigroup/Renormalizer,
+NumPy backend) running the identical model/procedure on this host CPU; the
+reference timings are measured once and cached in ``ref_bench.json`` /
+``ref_bench_tdvp.json`` (delete to re-measure).
 
 Prints exactly one JSON line:
-    {"metric": ..., "value": N, "unit": "s/sweep", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "s/sweep", "vs_baseline": N,
+     "extra": {"tdvp_ps_steps_per_s": ..., "tdvp_vs_baseline": ...,
+               "matvec_gflops": ..., "matvec_mfu_bf16": ...}}
 """
 
 import json
@@ -20,7 +23,16 @@ M = 256
 NMOLS = 6
 PH_LEVELS = [6, 6]
 NSWEEPS_MEASURE = 2
-REF_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ref_bench.json")
+_HERE = os.path.dirname(os.path.abspath(__file__))
+REF_CACHE = os.path.join(_HERE, "ref_bench.json")
+REF_TDVP_CACHE = os.path.join(_HERE, "ref_bench_tdvp.json")
+
+# TDVP benchmark config (scaled-down reference example/sbm.py parameters)
+TDVP_ALPHA = 0.05
+TDVP_NPH = 31          # 32 sites
+TDVP_M = 48
+TDVP_DT = 0.2
+TDVP_STEPS = 4
 
 
 def build_model_args():
@@ -87,6 +99,140 @@ def bench_tpu():
         if isweep >= len(warm):
             times.append(dt)
     return sum(times) / len(times), energy, model
+
+
+def _tdvp_model_mps(renormalizer_pkg):
+    """Identical TDVP workload for both engines: random M=48 state on the
+    scaled-down sbm.py model, non-adaptive TDVP-PS."""
+    sbm_lib = __import__(f"{renormalizer_pkg}.sbm.lib", fromlist=["param2mollist"])
+    utils = __import__(f"{renormalizer_pkg}.utils", fromlist=["Quantity", "EvolveConfig", "EvolveMethod"])
+    mps_mod = __import__(f"{renormalizer_pkg}.mps", fromlist=["Mps", "Mpo"])
+    Quantity = utils.Quantity
+    model = sbm_lib.param2mollist(TDVP_ALPHA, Quantity(1), Quantity(20), 1, TDVP_NPH)
+    mpo = mps_mod.Mpo(model)
+    mps = mps_mod.Mps.random(model, 0, TDVP_M, percent=1.0)
+    mps.evolve_config = utils.EvolveConfig(utils.EvolveMethod.tdvp_ps, adaptive=False)
+    return mps, mpo
+
+
+def bench_tdvp():
+    """TDVP-PS steps/s (BASELINE.md row 2; ref comparator
+    ``renormalizer/mps/mps.py:1267``)."""
+    from renormalizer_tpu.backend import backend
+
+    mps, mpo = _tdvp_model_mps("renormalizer_tpu")
+    # warm-up (compiles the per-site Lanczos + QR kernels)
+    for _ in range(2):
+        mps = mps.evolve(mpo, TDVP_DT)
+    backend.sync()
+    t0 = time.time()
+    for _ in range(TDVP_STEPS):
+        mps = mps.evolve(mpo, TDVP_DT)
+    backend.sync()
+    return TDVP_STEPS / (time.time() - t0)
+
+
+def bench_tdvp_reference():
+    if os.path.exists(REF_TDVP_CACHE):
+        with open(REF_TDVP_CACHE) as f:
+            return json.load(f)["steps_per_s"]
+    ref_path = "/root/reference"
+    if not os.path.isdir(ref_path):
+        return None
+    sys.path.insert(0, ref_path)
+    try:
+        for mod in list(sys.modules):
+            if mod.startswith("renormalizer"):
+                del sys.modules[mod]
+        mps, mpo = _tdvp_model_mps("renormalizer")
+        mps = mps.evolve(mpo, TDVP_DT)  # warm
+        t0 = time.time()
+        for _ in range(TDVP_STEPS):
+            mps = mps.evolve(mpo, TDVP_DT)
+        steps_per_s = TDVP_STEPS / (time.time() - t0)
+        with open(REF_TDVP_CACHE, "w") as f:
+            json.dump({"steps_per_s": steps_per_s, "M": TDVP_M,
+                       "n_phonons": TDVP_NPH, "dt": TDVP_DT}, f)
+        return steps_per_s
+    except Exception as e:  # pragma: no cover
+        print(f"# reference tdvp bench failed: {e}", file=sys.stderr)
+        return None
+    finally:
+        sys.path.remove(ref_path)
+        for mod in list(sys.modules):
+            if mod.startswith("renormalizer") and not mod.startswith("renormalizer_tpu"):
+                del sys.modules[mod]
+
+
+# bf16 matmul peak per chip by device kind (the MXU number; fp32 inputs run
+# as multi-pass bf16 so this is the honest roofline denominator)
+_PEAK_BF16 = {
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v4": 275e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+}
+
+
+def bench_matvec(model):
+    """2-site effective-H matvec: GFLOP/s + MFU (BASELINE.md row 3).
+
+    Uses the exact einsum the fused Davidson runs at the DMRG bench's
+    steady-state mid-chain shapes; FLOPs from XLA's own cost analysis."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from renormalizer_tpu.backend import backend
+    from renormalizer_tpu.mps import Mpo
+
+    mpo = Mpo(model)
+    mid = len(mpo) // 2
+    w1 = mpo[mid].shape
+    w2 = mpo[mid + 1].shape
+    d1, d2 = w1[1], w2[1]
+    dt = backend.real_dtype
+    rng = np.random.default_rng(0)
+
+    def arr(*shape):
+        return jnp.asarray(rng.standard_normal(shape).astype(dt))
+
+    L = arr(M, w1[0], M)
+    R = arr(M, w2[-1], M)
+    W1 = arr(*w1)
+    W2 = arr(*w2)
+    c = arr(M, d1, d2, M)
+    from renormalizer_tpu.ops.contract import hop_spec
+
+    formula, operands = hop_spec(L, R, [W1, W2], c.shape)
+
+    fn = jax.jit(lambda x, *ops: jnp.einsum(formula, *ops, x, optimize="optimal"))
+    # XLA's own flop count for the compiled executable
+    lowered = fn.lower(c, *operands)
+    compiled = lowered.compile()
+    try:
+        flops = float(compiled.cost_analysis()["flops"])
+    except Exception:
+        flops = None
+    out = fn(c, *operands)
+    out.block_until_ready()
+    niter = 50
+    t0 = time.perf_counter()
+    x = c
+    for _ in range(niter):
+        x = fn(x, *operands)
+    x.block_until_ready()
+    dt_s = (time.perf_counter() - t0) / niter
+    res = {"matvec_ms": round(dt_s * 1e3, 3)}
+    if flops:
+        gflops = flops / dt_s / 1e9
+        res["matvec_gflops"] = round(gflops, 1)
+        kind = jax.devices()[0].device_kind
+        peak = _PEAK_BF16.get(kind)
+        if peak:
+            res["matvec_mfu_bf16"] = round(flops / dt_s / peak, 4)
+            res["device_kind"] = kind
+    return res
 
 
 def bench_reference():
@@ -163,6 +309,22 @@ def main():
         raise last_err
     ref = bench_reference()
     vs_baseline = (ref / value) if (ref and value > 0) else None
+
+    extra = {}
+    try:
+        extra.update(bench_matvec(model))
+    except Exception as e:  # pragma: no cover
+        print(f"# matvec bench failed: {e}", file=sys.stderr)
+    try:
+        tdvp = bench_tdvp()
+        extra["tdvp_ps_steps_per_s"] = round(tdvp, 3)
+        tdvp_ref = bench_tdvp_reference()
+        if tdvp_ref:
+            extra["tdvp_ref_steps_per_s"] = round(tdvp_ref, 3)
+            extra["tdvp_vs_baseline"] = round(tdvp / tdvp_ref, 2)
+    except Exception as e:  # pragma: no cover
+        print(f"# tdvp bench failed: {e}", file=sys.stderr)
+
     result = {
         "metric": f"DMRG 2-site sweep wall time @ M={M}, {NMOLS}-mol Holstein "
                   f"({model.nsite} sites), lower is better; vs_baseline = speedup over "
@@ -171,6 +333,7 @@ def main():
         "unit": "s/sweep",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
         "energy": energy,
+        "extra": extra,
     }
     print(json.dumps(result))
 

@@ -116,6 +116,11 @@ class Backend:
         return self._bits == 32
 
     @property
+    def is_accelerator(self) -> bool:
+        """True when running on TPU/GPU (vs host CPU)."""
+        return self.jax.default_backend() != "cpu"
+
+    @property
     def real_dtype(self):
         return np.float32 if self._bits == 32 else np.float64
 

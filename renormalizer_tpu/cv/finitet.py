@@ -225,7 +225,7 @@ class SpectraFtCV(SpectraCv):
         x, l_value = solve(
             guess, vec_b, prediag, mask_idx, l1, r1, l2, r2, l3, r3, a, h
         )
-        l_value = float(np.asarray(l_value))
+        # l_value stays a device scalar; realized once per sweep in the driver
 
         xstruct = cvec2cmat(x, qn_mask)
         self.cv_mpo._update_mps(xstruct, [i], qnbigl, qnbigr, percent)

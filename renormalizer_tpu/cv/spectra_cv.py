@@ -4,13 +4,18 @@ Per frequency point the response is obtained by sweeping a site-local linear
 solve of ((H - e0 - omega)^2 + eta^2) |x> = -eta mu |0>.
 Reference ``renormalizer/cv/spectra_cv.py:17-205``.
 
-Parallelism: each frequency point is independent.  ``batch_run`` uses a
-process pool like the reference; on a TPU fleet the natural mapping is one
-frequency point per chip (see ``renormalizer_tpu/parallel``).
+Parallelism: each frequency point is independent.  The reference forks a
+``multiprocessing.Pool`` (``cv/spectra_cv.py:17-50``) — host processes
+contending for one accelerator.  Here ``batch_run`` never forks: it
+round-robins several frequency sweeps in ONE process, placing each worker's
+tensors on its own local device (``jax.local_devices()``).  Dispatch is
+asynchronous, so while worker k blocks on its tiny per-site sync the other
+devices keep executing their queued site updates — frequency points run
+data-parallel across chips with numerics identical to the serial loop.
 """
 
+import contextlib
 import logging
-from multiprocessing import Pool
 
 import numpy as np
 
@@ -20,30 +25,84 @@ from renormalizer_tpu.utils import CompressConfig, CompressCriteria
 logger = logging.getLogger(__name__)
 
 
+class _Worker:
+    """One in-flight frequency sweep pinned to a device."""
+
+    def __init__(self, solver, omegas, device):
+        self.solver = solver
+        self.omegas = list(omegas)
+        self.device = device
+        self.gen = None
+        self.current = None
+        self.results = []  # (omega, value)
+
+    def step(self) -> bool:
+        """Advance one site update; False when the whole chunk is done."""
+        import jax
+
+        ctx = (
+            jax.default_device(self.device)
+            if self.device is not None
+            else contextlib.nullcontext()
+        )
+        with ctx:
+            if self.gen is None:
+                if not self.omegas:
+                    return False
+                self.current = self.omegas.pop(0)
+                self.gen = self.solver._cv_solve_steps(self.current)
+            try:
+                next(self.gen)
+            except StopIteration as stop:
+                self.results.append((self.current, stop.value))
+                self.gen = None
+        return True
+
+
 def batch_run(freq_reg, cores, obj, filename=None):
     """Evaluate the CV response over a frequency window.
 
-    ``cores > 1`` distributes points over a process pool (embarrassingly
-    parallel; each process drives its own device context)."""
+    ``cores`` bounds the number of concurrently in-flight frequency sweeps
+    (each on its own local device when several are available).  No processes
+    are forked; results are identical to the serial loop."""
+    import jax
+
     logger.info(f"{len(freq_reg)} total frequency points to do")
-    spectra = []
     obj.batch_run = True
-    if cores > 1:
-        pool = Pool(processes=cores)
-        logger.info(f"{cores} multiprocess parallelization activated")
-        for i_spec in pool.imap(obj.cv_solve, freq_reg):
-            spectra.append(i_spec)
-            if filename is not None:
-                np.save(f"{filename}", spectra)
-        pool.close()
-        pool.join()
-    elif cores == 1:
+    nworkers = max(1, min(int(cores), len(freq_reg)))
+    if nworkers == 1:
+        spectra = []
         for omega in freq_reg:
             spectra.append(obj.cv_solve(omega))
             if filename is not None:
                 np.save(f"{filename}", spectra)
-    else:
-        raise AssertionError
+        return spectra
+
+    devices = jax.local_devices()
+    logger.info(
+        f"{nworkers} interleaved in-process workers over "
+        f"{min(nworkers, len(devices))} device(s)"
+    )
+    # contiguous chunks keep the warm-start continuity in omega
+    chunks = np.array_split(np.asarray(freq_reg), nworkers)
+    workers = []
+    for w, chunk in enumerate(chunks):
+        if len(chunk) == 0:
+            continue
+        device = devices[w % len(devices)]
+        solver = obj.clone_for_batch(device)
+        workers.append(_Worker(solver, chunk, device))
+    live = list(workers)
+    while live:
+        live = [wk for wk in live if wk.step()]
+    order = {omega: i for i, omega in enumerate(freq_reg)}
+    pairs = sorted(
+        (pair for wk in workers for pair in wk.results),
+        key=lambda p: order[p[0]],
+    )
+    spectra = [v for _, v in pairs]
+    if filename is not None:
+        np.save(f"{filename}", spectra)
     return spectra
 
 
@@ -96,6 +155,20 @@ class SpectraCv:
 
         The previous frequency's ``cv_mps`` is kept as the warm start, but the
         iteration statistics start fresh for every frequency point."""
+        gen = self._cv_solve_steps(omega)
+        while True:
+            try:
+                next(gen)
+            except StopIteration as stop:
+                return stop.value
+
+    def _cv_solve_steps(self, omega):
+        """Generator form of :func:`cv_solve`: yields after every site update
+        so ``batch_run`` can interleave several frequency sweeps (the device
+        work per step is dispatched asynchronously; per-site response values
+        stay on device until the sweep-end convergence check)."""
+        import jax.numpy as jnp
+
         self.clear_res()
         converged = False
         len_cv = len(self.cv_mps)
@@ -122,11 +195,12 @@ class SpectraCv:
                 )
                 if not at_sweep_end:
                     lr_group = self.update_LR(lr_group, isite)
-                micro.append(-1.0 / (np.pi * self.eta) * l_value)
-                logger.debug(
-                    f"omega:{omega}, isweep:{isweep}, isite:{isite}, "
-                    f"response:{micro[-1]}"
-                )
+                micro.append(-1.0 / (np.pi * self.eta) * jnp.asarray(l_value))
+                yield
+            # ONE sync per sweep: realize all site responses together
+            micro = [float(v) for v in np.asarray(jnp.stack(micro))]
+            if logger.isEnabledFor(logging.DEBUG):
+                logger.debug(f"omega:{omega}, isweep:{isweep}, responses:{micro}")
             self.cv_mps.to_right = not self.cv_mps.to_right
             self.macro_iteration_result.append(max(micro))
             if idx > 0 and procedure == 0:
@@ -150,6 +224,33 @@ class SpectraCv:
     def clear_res(self):
         self.hop_time.clear()
         self.macro_iteration_result.clear()
+
+    def clone_for_batch(self, device=None) -> "SpectraCv":
+        """Independent copy of this solver for one ``batch_run`` worker, with
+        its tensors placed on ``device``."""
+        import copy
+
+        import jax
+
+        new = copy.copy(self)
+        new.hop_time = []
+        new.macro_iteration_result = []
+        new.batch_run = True
+        for attr in ("cv_mps", "b_mps", "h_mpo", "a_oper"):
+            mp = getattr(new, attr, None)
+            if mp is None:
+                continue
+            mp = mp.copy()
+            if device is not None:
+                for i in range(len(mp)):
+                    mp[i] = jax.device_put(mp[i], device)
+            setattr(new, attr, mp)
+        # subclass aliases (finite temperature names)
+        if hasattr(new, "cv_mpo"):
+            new.cv_mpo = new.cv_mps
+        if hasattr(new, "b_mpo"):
+            new.b_mpo = new.b_mps
+        return new
 
     # subclass hooks
     def init_cv_mps(self):

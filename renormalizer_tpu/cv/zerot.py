@@ -144,7 +144,7 @@ class SpectraZtCV(SpectraCv):
         formula, operands = hop_spec(first_L, first_R, cmo, xshape, twolayer=True)
         solve = _cg_factory(formula, tuple(xshape), float(self.eta), 1e-5)
         x, l_value = solve(guess, vec_b, a_diag, mask_idx, *operands)
-        l_value = float(np.asarray(l_value))
+        # l_value stays a device scalar; realized once per sweep in the driver
 
         xstruct = cvec2cmat(x, qn_mask)
         self.cv_mps._update_mps(xstruct, cidx, qnbigl, qnbigr, percent)

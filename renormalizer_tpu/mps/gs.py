@@ -199,9 +199,10 @@ def single_sweep(mps, mpo, environ, omega, percent, last_opt_e_idx):
             else:
                 cstruct = [ci.reshape(cshape) for ci in c]
 
-        if nroots > 1:
-            e = list(e)
-        logger.debug(f"energy: {e}")
+        if logger.isEnabledFor(logging.DEBUG):
+            # formatting a device scalar forces a host sync; only pay for it
+            # when debug logging is actually on
+            logger.debug(f"energy: {np.asarray(e)}")
         micro_iteration_result.append((e, cidx))
         if cidx == last_opt_e_idx:
             if nroots == 1:
@@ -218,7 +219,22 @@ def single_sweep(mps, mpo, environ, omega, percent, last_opt_e_idx):
             mpo.try_swap_site(mps.model, mps.compress_config.ofs_swap_jw)
 
     mps._switch_direction()
-    return micro_iteration_result, res_mps, mpo
+    return _realize_energies(micro_iteration_result, nroots), res_mps, mpo
+
+
+def _realize_energies(micro, nroots):
+    """Fetch the per-site energies in ONE device sync at sweep end.
+
+    During the sweep energies stay as device scalars so the only blocking
+    transfer per site update is the candidate-spectrum fetch in truncation."""
+    if nroots == 1:
+        vals = np.asarray(jnp.stack([jnp.asarray(e) for e, _ in micro]))
+        return [(float(v), c) for v, (_, c) in zip(vals, micro)]
+    out = []
+    for e, c in micro:
+        e = np.asarray(e)
+        out.append((list(map(float, np.atleast_1d(e))), c))
+    return out
 
 
 _DEVICE_MASK_CACHE = {}
@@ -278,7 +294,6 @@ def eigh_direct(mps, qn_mask, ltensor, rtensor, cmo, omega):
         ham = get_ham_direct(mps, qn_mask, ltensor, rtensor, cmo, omega)
     inverse = mps.optimize_config.inverse
     w, v = jnp.linalg.eigh(ham * inverse)
-    w = np.asarray(w)
     nroots = mps.optimize_config.nroots
     if nroots == 1:
         e, c = w[0], v[:, 0]
@@ -387,8 +402,9 @@ def eigh_iterative(mps, qn_mask, ltensor, rtensor, cmo, omega, cguess):
             hdiag_eff = jnp.where(mask_flat, hdiag, 1e10)
             x0 = jnp.where(mask_flat, jnp.asarray(cguess[0]).ravel(), 0)
             e, c, niter = davidson(hop, x0, hdiag_eff, tol=tol, max_cycle=100)
-        logger.debug(f"use davidson, HC hops: {int(niter)}")
-        return float(np.asarray(e)), sign_fix(c, 1)
+        if logger.isEnabledFor(logging.DEBUG):
+            logger.debug(f"use davidson, HC hops: {int(niter)}")
+        return e, sign_fix(c, 1)
     hdiag_eff = jnp.where(mask_flat, hdiag, 1e10)
     x0_list = [jnp.where(mask_flat, jnp.asarray(x).ravel(), 0) for x in cguess]
     thetas, X, niter = davidson_multiroot(hop, x0_list, hdiag_eff, nroots, tol=max(tol, 1e-9), max_cycle=100)

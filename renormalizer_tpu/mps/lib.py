@@ -36,7 +36,13 @@ class Environ:
     """
 
     def __init__(self, mps, mpo, domain=None, mps_conj=None):
-        self._store: Dict = {}
+        from renormalizer_tpu.mps import offload
+
+        hot = offload.hot_window()
+        # HBM<->host tiering (RENO_HOST_OFFLOAD=N): keep the N most recently
+        # used environment entries in HBM, offload the rest to host RAM with
+        # transparent (and prefetched) restore
+        self._store: Dict = offload.TieredStore(hot) if hot else {}
         ndim = len(mpo) + 2 if isinstance(mpo, list) else 3
         self.sentinel = jnp.ones([1] * ndim, dtype=backend.real_dtype)
         self._build(mps, mpo, domain, mps_conj)
@@ -104,30 +110,35 @@ class Environ:
         self._store[(domain, siteidx)] = jnp.asarray(tensor)
 
     def read(self, domain, siteidx):
-        return self._store[(domain, siteidx)]
+        tensor = self._store[(domain, siteidx)]
+        if isinstance(self._store, dict):
+            return tensor
+        # warm the neighbors the sweep will touch next (async host->HBM copy)
+        for nxt in (siteidx - 1, siteidx + 1):
+            self._store.prefetch((domain, nxt))
+        return tensor
 
 
 # Quantization granularity for per-sector retained counts.  DMRG sweeps
 # drift sector splits by a few states between sweeps; every distinct split is
 # a fresh set of XLA shapes (expensive remote compiles on tunneled TPUs).
 # Rounding each sector's count to a multiple of G collapses the shape set at
-# a negligible accuracy cost.  Applied only for reasonably large Mmax.
-SECTOR_QUANT = int(os.environ.get("RENO_SECTOR_QUANT", "8"))
+# a negligible accuracy cost.  Applied only for reasonably large Mmax, and
+# only on accelerator backends — on CPU there is no remote-compile cost, so
+# the default granularity is 1 and truncation matches the reference exactly
+# (override with RENO_SECTOR_QUANT).
+def _default_sector_quant():
+    if "RENO_SECTOR_QUANT" in os.environ:
+        return int(os.environ["RENO_SECTOR_QUANT"])
+    return 8 if backend.is_accelerator else 1
 
 
-def select_basis(vset, sset, qnlist, compset, Mmax, percent=0):
-    """Renormalized-basis selection of J. Chem. Phys. 120, 3172 (2004)
-    (reference ``mps/lib.py:253-322``).
+SECTOR_QUANT = _default_sector_quant()
 
-    A ``percent`` fraction of the retained basis is distributed equally over
-    quantum-number blocks (by descending singular value within each block) to
-    avoid local minima; the rest is taken globally by singular value.
 
-    ``vset``/``compset`` are device matrices with basis vectors as columns;
-    ``sset`` (host) are the weights.  Returns
-    ``(ms, mpsdim, mpsqn, compms)`` where ``compms`` columns are scaled by
-    their singular values.
-    """
+def select_indices(sset, qnlist, Mmax, percent=0) -> List[int]:
+    """Pick the retained candidate indices by singular value and qn block
+    (the index-selection half of :func:`select_basis`)."""
     sset = np.asarray(sset)
     qnlist = [tuple(qn) for qn in qnlist]
     qnset = set(qnlist)
@@ -165,7 +176,25 @@ def select_basis(vset, sset, qnlist, compset, Mmax, percent=0):
             new_sidx += idx_list[:keep]
         if new_sidx:
             sidx = new_sidx
+    return sidx
 
+
+def select_basis(vset, sset, qnlist, compset, Mmax, percent=0):
+    """Renormalized-basis selection of J. Chem. Phys. 120, 3172 (2004)
+    (reference ``mps/lib.py:253-322``).
+
+    A ``percent`` fraction of the retained basis is distributed equally over
+    quantum-number blocks (by descending singular value within each block) to
+    avoid local minima; the rest is taken globally by singular value.
+
+    ``vset``/``compset`` are device matrices with basis vectors as columns;
+    ``sset`` (host) are the weights.  Returns
+    ``(ms, mpsdim, mpsqn, compms)`` where ``compms`` columns are scaled by
+    their singular values.
+    """
+    sset = np.asarray(sset)
+    qnlist = [tuple(qn) for qn in qnlist]
+    sidx = select_indices(sset, qnlist, Mmax, percent)
     mpsdim = len(sidx)
     idx = jnp.asarray(np.array(sidx, dtype=int))
     # host inputs stay on host: every device gather of a new (shape, count)

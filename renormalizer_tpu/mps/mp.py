@@ -22,7 +22,7 @@ import numpy as np
 
 from renormalizer_tpu.backend import backend
 from renormalizer_tpu.model import Model
-from renormalizer_tpu.mps import svd_qn
+from renormalizer_tpu.mps import svd_qn, trunc_device
 from renormalizer_tpu.mps.svd_qn import add_outer, get_qn_mask
 from renormalizer_tpu.mps.lib import Environ, select_basis
 from renormalizer_tpu.ops.contract import hop_expr, tensordot1
@@ -35,6 +35,19 @@ from renormalizer_tpu.utils import (
 )
 
 logger = logging.getLogger(__name__)
+
+
+def _content_digest(array):
+    """128-bit content digest of a host array (None for device arrays —
+    hashing those would force a device->host transfer)."""
+    if not isinstance(array, np.ndarray):
+        return None
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    h.update(str((array.shape, array.dtype.str)).encode())
+    h.update(np.ascontiguousarray(array).tobytes())
+    return h.digest()
 
 
 def check_orthogonal(ms, left: bool, rtol=None, atol=None) -> bool:
@@ -56,6 +69,16 @@ class MatrixProduct:
     def __init__(self):
         # NOTE: update `metacopy` when adding attributes
         self._mp: List = []
+        # host-side content digests of the site tensors (computed from the
+        # numpy array before upload; None when a site was written from a
+        # device array).  Used by ``Mps.expectations`` to share environments
+        # across independently-built identical MPOs (reference
+        # ``mps.py:2103-2169`` hashes with collision detection; a 128-bit
+        # blake2b digest makes collisions practically impossible)
+        self._mt_hashes: List = []
+        # indices of site tensors currently offloaded to host RAM
+        # (RENO_HOST_OFFLOAD tiering; reference disk offload ``mp.py:1047-1080``)
+        self._cold_sites: set = set()
         self.dtype = backend.real_dtype
         self.model: Model = None
         self.compress_config: CompressConfig = CompressConfig()
@@ -332,16 +355,23 @@ class MatrixProduct:
             if qnrset is not None:
                 self.qn[idx] = np.array(qnrset[:m_trunc])
                 self.qnidx = idx - 1
+        self._offload_cold_sites(self.qnidx)
 
     def _push_cano(self, idx):
         """Move the canonical center across site ``idx`` by blockwise QR
         (reference ``mp.py:890-908``)."""
         qnbigl, qnbigr, _ = self._get_big_qn([idx])
         system = "L" if self.to_right else "R"
-        u, qnlset, v, qnrset = svd_qn.svd_qn(
-            self[idx], qnbigl, qnbigr, self.qntot,
-            QR=True, system=system, full_matrices=False,
-        )
+        if trunc_device.linalg_enabled():
+            # fully asynchronous on-device blockwise QR (no host sync at all)
+            u, qnlset, v, qnrset = trunc_device.qr_qn_device(
+                self[idx], qnbigl, qnbigr, self.qntot, system
+            )
+        else:
+            u, qnlset, v, qnrset = svd_qn.svd_qn(
+                self[idx], qnbigl, qnbigr, self.qntot,
+                QR=True, system=system, full_matrices=False,
+            )
         self._update_ms(idx, u, v.T, sigma=None, qnlset=qnlset, qnrset=qnrset)
 
     def canonicalise(self, stop_idx: int = None):
@@ -497,20 +527,21 @@ class MatrixProduct:
         averaged_ms = None
         if not isinstance(cstruct, list):
             if self.compress_config.ofs is None:
-                res = None
-                if percent == 0 and svd_qn.device_svd_enabled():
-                    # steady-state fast path: one fused device SVD, KB-sized
-                    # metadata transfer, no complement padding needed
-                    res = svd_qn.svd_qn_device(cstruct, qnbigl, qnbigr, self.qntot)
-                if res is None:
-                    # complement padding (zero-singular-value columns) only
-                    # matters when `percent` forces allocation into empty
-                    # sectors; at percent=0 only the top singular vectors are
-                    # kept, and skipping the pads halves the LAPACK cost
-                    res = svd_qn.svd_qn(
-                        cstruct, qnbigl, qnbigr, self.qntot, system=system,
-                        full_matrices=(percent != 0),
+                if trunc_device.enabled(self.compress_config, percent):
+                    ms, msdim, msqn, compms = self._update_mps_device(
+                        cstruct, cidx, qnbigl, qnbigr, system, percent
                     )
+                    return self._write_back(
+                        None, cstruct, cidx, ms, msdim, msqn, compms, None
+                    )
+                # complement padding (zero-singular-value columns) only
+                # matters when `percent` forces allocation into empty
+                # sectors; at percent=0 only the top singular vectors are
+                # kept, and skipping the pads halves the LAPACK cost
+                res = svd_qn.svd_qn(
+                    cstruct, qnbigl, qnbigr, self.qntot, system=system,
+                    full_matrices=(percent != 0),
+                )
                 Uset, SUset, qnlnew, Vset, SVset, qnrnew = res
             else:
                 (Uset, SUset, qnlnew, Vset, SVset, qnrnew), cstruct, qnbigl, qnbigr = \
@@ -575,6 +606,45 @@ class MatrixProduct:
                 ms = jnp.moveaxis(ms, -1, 0)
             averaged_ms = []
 
+        return self._write_back(
+            averaged_ms, cstruct, cidx, ms, msdim, msqn, compms,
+            rotated_c if isinstance(cstruct, list) else None,
+        )
+
+    def _update_mps_device(self, cstruct, cidx, qnbigl, qnbigr, system, percent):
+        """On-device truncation of the active-site coefficient: randomized
+        sector-pure candidates + host index selection + device gather/rotate
+        (see ``trunc_device.py``).  Only the candidate singular values cross
+        the device boundary."""
+        from renormalizer_tpu.mps.lib import select_indices
+
+        m = int(np.prod(qnbigl.shape[:-1]))
+        n = int(np.prod(qnbigr.shape[:-1]))
+        bond_idx = cidx[0] if self.to_right else cidx[-1]
+        cap = self.compress_config.compute_m_trunc(
+            np.full(min(m, n), np.inf), bond_idx, self.to_right
+        )
+        parts, sigma, qn_list = trunc_device.candidates(
+            cstruct, qnbigl, qnbigr, self.qntot, system, cap,
+            want_complement=(percent != 0),
+        )
+        m_trunc = self.compress_config.compute_m_trunc(sigma, bond_idx, self.to_right)
+        sidx = select_indices(sigma, qn_list, m_trunc, percent)
+        msdim = len(sidx)
+        msqn = np.array([qn_list[i] for i in sidx])
+        ms_mat, comp_mat = trunc_device.apply_selection(
+            cstruct, parts, sidx, m, n, system
+        )
+        if self.to_right:
+            ms = ms_mat.reshape(list(qnbigl.shape[:-1]) + [msdim])
+            compms = comp_mat.reshape([msdim] + list(qnbigr.shape[:-1]))
+        else:
+            ms = jnp.moveaxis(ms_mat.reshape(list(qnbigr.shape[:-1]) + [msdim]), -1, 0)
+            compms = comp_mat.reshape(list(qnbigl.shape[:-1]) + [msdim])
+        return ms, msdim, msqn, compms
+
+    def _write_back(self, averaged_ms, cstruct, cidx, ms, msdim, msqn, compms,
+                    rotated_c):
         # write the factors back into the chain
         if len(cidx) == 1:
             self[cidx[0]] = ms
@@ -618,6 +688,7 @@ class MatrixProduct:
             if isinstance(cstruct, list):
                 averaged_ms = rotated_c
             self.qn[cidx[1]] = msqn
+        self._offload_cold_sites(self.qnidx)
         return averaged_ms
 
     def _ofs_select(self, cstruct, cidx, qnbigl, qnbigr, system):
@@ -820,6 +891,7 @@ class MatrixProduct:
         new = self.metacopy()
         for i in range(self.site_num):
             new[i] = self[i]
+        new._mt_hashes = list(self._mt_hashes)
         return new
 
     def metacopy(self) -> "MatrixProduct":
@@ -832,10 +904,13 @@ class MatrixProduct:
         new.qnidx = self.qnidx
         new.qntot = None if self.qntot is None else np.asarray(self.qntot).copy()
         new.to_right = self.to_right
+        new._mt_hashes = [None] * len(self)
+        new._cold_sites = set()
         return new
 
     def build_empty_mp(self, num):
         self._mp = [None] * num
+        self._mt_hashes = [None] * num
 
     # --- container protocol -------------------------------------------------------
     def append(self, array):
@@ -843,9 +918,40 @@ class MatrixProduct:
         if len(self._mp) != 0:
             assert mt.shape[0] == self._mp[-1].shape[-1]
         self._mp.append(mt)
+        self._mt_hashes.append(_content_digest(array))
 
     def __getitem__(self, item):
+        if isinstance(item, slice):
+            return [self[i] for i in range(*item.indices(len(self._mp)))]
+        if self._cold_sites:
+            idx = item if item >= 0 else item + len(self._mp)
+            if idx in self._cold_sites:
+                from renormalizer_tpu.mps import offload
+
+                self._mp[idx] = offload.to_device(self._mp[idx])
+                self._cold_sites.discard(idx)
         return self._mp[item]
+
+    def _offload_cold_sites(self, center: int):
+        """Move big site tensors far from the sweep center to host RAM
+        (HBM<->host analog of the reference's disk offload,
+        ``mp.py:1047-1080``).  Active when RENO_HOST_OFFLOAD=N > 0; only
+        tensors over ``compress_config.dump_matrix_size`` bytes (default:
+        4 MiB when that knob is left at inf) are moved."""
+        from renormalizer_tpu.mps import offload
+
+        window = offload.hot_window()
+        if not window:
+            return
+        threshold = self.compress_config.dump_matrix_size
+        if not np.isfinite(threshold):
+            threshold = 4 << 20
+        for i, mt in enumerate(self._mp):
+            if mt is None or abs(i - center) <= window or i in self._cold_sites:
+                continue
+            if mt.size * mt.dtype.itemsize >= threshold:
+                self._mp[i] = offload.to_host(mt)
+                self._cold_sites.add(i)
 
     def __setitem__(self, key, array):
         mt = jnp.asarray(array, dtype=self.dtype)
@@ -854,6 +960,11 @@ class MatrixProduct:
                 "Matrix physical bond dimension does not match system information"
             )
         self._mp[key] = mt
+        idx = key if key >= 0 else key + self.site_num
+        self._cold_sites.discard(idx)
+        if len(self._mt_hashes) <= idx:
+            self._mt_hashes.extend([None] * (idx + 1 - len(self._mt_hashes)))
+        self._mt_hashes[idx] = _content_digest(array)
 
     def __add__(self, other):
         return self.add(other)
@@ -877,7 +988,9 @@ class MatrixProduct:
         return not self == other
 
     def __iter__(self):
-        return iter(self._mp)
+        if not self._cold_sites:
+            return iter(self._mp)
+        return (self[i] for i in range(len(self._mp)))
 
     def __len__(self):
         return len(self._mp)

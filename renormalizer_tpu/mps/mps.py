@@ -32,7 +32,7 @@ from renormalizer_tpu.backend import backend
 from renormalizer_tpu.lib.solvers import davidson, expm_krylov, expm_krylov_fused, solve_ivp
 from renormalizer_tpu.model import Model, Op, OpSum
 from renormalizer_tpu.model import basis as ba
-from renormalizer_tpu.mps import svd_qn
+from renormalizer_tpu.mps import svd_qn, trunc_device
 from renormalizer_tpu.mps.svd_qn import add_outer, get_qn_mask
 from renormalizer_tpu.mps.lib import Environ, compressed_sum, cvec2cmat, select_basis
 from renormalizer_tpu.mps.mp import MatrixProduct
@@ -420,14 +420,17 @@ class Mps(MatrixProduct):
         if not opt:
             return np.array([self.expectation(mpo, self_conj) for mpo in mpos])
 
-        # identify shared site tensors across the MPOs by python id
-        # (MPOs produced by `Mpo.identity`-style construction share arrays)
+        # identify shared site tensors across the MPOs by CONTENT digest
+        # (computed host-side at construction, so independently-built
+        # identical MPOs share environments; reference ``mps.py:2103-2169``),
+        # falling back to python id for tensors written from device arrays
         hash_to_obj = {}
-        mpos_hash: List[List[int]] = []
+        mpos_hash: List[List] = []
         for mpo in mpos:
             mpo_hash = []
-            for m in mpo:
-                key = id(m)
+            hashes = getattr(mpo, "_mt_hashes", [])
+            for i, m in enumerate(mpo):
+                key = hashes[i] if i < len(hashes) and hashes[i] is not None else id(m)
                 hash_to_obj[key] = m
                 mpo_hash.append(key)
             mpos_hash.append(mpo_hash)
@@ -437,9 +440,9 @@ class Mps(MatrixProduct):
         l_envs = _construct_freq_environ(mpos_hash, hash_to_obj, self, "L", self_conj)
         r_envs = _construct_freq_environ(mpos_hash, hash_to_obj, self, "R", self_conj)
         results = []
-        for mpo in mpos:
-            l_env, l_idx = _get_freq_environ(l_envs, mpo, "L", np.inf)
-            r_env, r_idx = _get_freq_environ(r_envs, mpo, "R", len(mpo) - l_idx - 1)
+        for mpo, mpo_hash in zip(mpos, mpos_hash):
+            l_env, l_idx = _get_freq_environ(l_envs, mpo_hash, "L", np.inf)
+            r_env, r_idx = _get_freq_environ(r_envs, mpo_hash, "R", len(mpo) - l_idx - 1)
             for i in range(l_idx + 1, r_idx):
                 l_env = contract_one_site(l_env, self[i], mpo[i], "L", self_conj[i])
             results.append(complex(np.asarray(
@@ -792,10 +795,15 @@ class Mps(MatrixProduct):
                 )
 
                 qnbigl, qnbigr, _ = mps._get_big_qn([imps])
-                u, qnlset, v, qnrset = svd_qn.svd_qn(
-                    mps_t, qnbigl, qnbigr, mps.qntot,
-                    QR=True, system=system, full_matrices=False,
-                )
+                if trunc_device.linalg_enabled():
+                    u, qnlset, v, qnrset = trunc_device.qr_qn_device(
+                        mps_t, qnbigl, qnbigr, mps.qntot, system
+                    )
+                else:
+                    u, qnlset, v, qnrset = svd_qn.svd_qn(
+                        mps_t, qnbigl, qnbigr, mps.qntot,
+                        QR=True, system=system, full_matrices=False,
+                    )
                 vt = v.T
                 if not mps.to_right and imps != 0:
                     mps[imps] = vt.reshape([-1] + shape[1:])
@@ -1401,16 +1409,16 @@ def _construct_freq_environ(mpos_hash, hash_to_obj, mps: Mps, domain: str, mps_c
     return result
 
 
-def _get_freq_environ(environ_dict, mpo, domain, max_length):
-    """Longest cached environment prefix for this MPO
-    (reference ``mps.py:2149-2169``)."""
+def _get_freq_environ(environ_dict, mpo_hash, domain, max_length):
+    """Longest cached environment prefix for this MPO (content keys;
+    reference ``mps.py:2149-2169``)."""
     assert domain in ("L", "R")
-    it = mpo if domain == "L" else reversed(list(mpo))
+    it = mpo_hash if domain == "L" else list(reversed(mpo_hash))
     hashes = []
-    for mo in it:
-        hashes.append(id(mo))
+    for key in it:
+        hashes.append(key)
         if tuple(hashes) not in environ_dict or max_length < len(hashes):
             hashes.pop()
             break
-    i = len(hashes) - 1 if domain == "L" else len(mpo) - len(hashes)
+    i = len(hashes) - 1 if domain == "L" else len(mpo_hash) - len(hashes)
     return environ_dict[tuple(hashes)], i

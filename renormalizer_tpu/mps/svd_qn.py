@@ -19,11 +19,14 @@ independently, and the factors are scattered back with sector-sorted columns
 ``full_matrices=True``).
 """
 
+import logging
 from typing import List, Tuple
 
 import numpy as np
 
 from renormalizer_tpu.backend import backend
+
+logger = logging.getLogger(__name__)
 
 
 def add_outer(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -37,6 +40,21 @@ def get_qn_mask(qnmat: np.ndarray, qntot) -> np.ndarray:
     """Boolean mask of entries matching the total quantum number
     (reference ``svd_qn.py:316-317``)."""
     return np.all(qnmat == np.array(qntot), axis=-1)
+
+
+def _robust_svd(block):
+    """SVD with gesdd -> gesvd fallback (reference ``svd_qn.py:26-38``):
+    gesdd occasionally fails to converge on ill-conditioned blocks deep into
+    long dynamics runs; gesvd is slower but far more robust."""
+    try:
+        return np.linalg.svd(block, full_matrices=False)
+    except np.linalg.LinAlgError:
+        logger.warning("np.linalg.svd (gesdd) failed to converge; "
+                       "falling back to gesvd")
+        import scipy.linalg
+
+        return scipy.linalg.svd(block, full_matrices=False,
+                                lapack_driver="gesvd")
 
 
 def _rq_econ(block):
@@ -131,7 +149,7 @@ def svd_qn(
         block = mat[np.ix_(lset, rset)]
         dim = min(len(lset), len(rset))
         if not QR:
-            bu, bs, bvt = np.linalg.svd(block, full_matrices=False)
+            bu, bs, bvt = _robust_svd(block)
             bv = bvt.T  # same convention as the reference: caller uses v.T
             s_blocks.append(bs)
             if full_matrices:
@@ -239,125 +257,3 @@ def eigh_qn(dm, qnbigl, qnbigr, qntot, system) -> Tuple:
         col += b.shape[1]
     s = np.concatenate(s_list)
     return u, s, new_qn
-
-
-# --- device fast path ------------------------------------------------------
-#
-# At steady state (percent == 0 sweeps) the truncation can run entirely on
-# device: ONE economy SVD of the full masked coefficient matrix.  Because the
-# matrix is exactly qn-block-sparse, its singular vectors are sector-pure (up
-# to degeneracies), so the per-column quantum numbers are recovered on device
-# from the sector-projected weight distribution and shipped to the host as a
-# few KB of metadata instead of the full ~MB tensor.  Degeneracy across
-# sectors (impure columns) is detected and the caller falls back to the
-# host-LAPACK blockwise path.
-
-def _sector_ids(localqn):
-    uniq = sorted(set(tuple(t) for t in localqn))
-    index = {q: i for i, q in enumerate(uniq)}
-    ids = np.array([index[tuple(t)] for t in localqn], dtype=np.int32)
-    return ids, uniq
-
-
-_ONEHOT_CACHE = {}
-
-
-def _device_onehot(ids, nq):
-    import jax.numpy as jnp
-
-    key = (ids.shape[0], nq, hash(ids.tobytes()))
-    hit = _ONEHOT_CACHE.get(key)
-    if hit is None:
-        if len(_ONEHOT_CACHE) > 256:
-            _ONEHOT_CACHE.clear()
-        oh = np.zeros((ids.shape[0], nq), dtype=backend.real_dtype)
-        oh[np.arange(ids.shape[0]), ids] = 1
-        hit = jnp.asarray(oh)
-        _ONEHOT_CACHE[key] = hit
-    return hit
-
-
-def _device_svd_factory():
-    import jax
-    import jax.numpy as jnp
-    from functools import lru_cache
-
-    @lru_cache(maxsize=None)
-    def factory(shape):
-        @jax.jit
-        def run(mat, oh_l, oh_r):
-            u, s, vt = jnp.linalg.svd(mat, full_matrices=False)
-            pu = oh_l.T @ jnp.abs(u) ** 2        # (nq, k) sector weights
-            pv = oh_r.T @ jnp.abs(vt.T) ** 2
-            lu = jnp.argmax(pu, axis=0)
-            lv = jnp.argmax(pv, axis=0)
-            meta = jnp.stack([
-                s,
-                lu.astype(s.dtype),
-                lv.astype(s.dtype),
-                jnp.max(pu, axis=0),
-                jnp.max(pv, axis=0),
-            ])
-            return u, vt.T, meta
-
-        return run
-
-    return factory
-
-
-_DEVICE_SVD = None
-
-
-def svd_qn_device(coef_array, qnbigl, qnbigr, qntot):
-    """Device economy SVD with qn labels; ``None`` on sector ambiguity.
-
-    Returns the same tuple layout as :func:`svd_qn` (without complement
-    padding): ``(U, S, qnl_list, V, S, qnr_list)`` with U/V device arrays.
-    """
-    global _DEVICE_SVD
-    import jax.numpy as jnp
-
-    qntot = np.atleast_1d(np.asarray(qntot))
-    qn_size = len(qntot)
-    localqnl = np.asarray(qnbigl).reshape(-1, qn_size)
-    localqnr = np.asarray(qnbigr).reshape(-1, qn_size)
-    m, n = len(localqnl), len(localqnr)
-    ids_l, uniq_l = _sector_ids(localqnl)
-    ids_r, uniq_r = _sector_ids(localqnr)
-    if _DEVICE_SVD is None:
-        _DEVICE_SVD = _device_svd_factory()
-    run = _DEVICE_SVD((m, n))
-    u, v, meta = run(
-        jnp.asarray(coef_array).reshape(m, n),
-        _device_onehot(ids_l, len(uniq_l)),
-        _device_onehot(ids_r, len(uniq_r)),
-    )
-    meta = np.asarray(meta)  # single small transfer: (5, k)
-    s, lu, lv, pu, pv = meta
-    lu = lu.astype(int)
-    lv = lv.astype(int)
-    # ignore numerically-zero columns for the purity check; they are never
-    # selected at percent == 0
-    live = s > (s[0] if len(s) else 1.0) * 1e-7
-    tol = 1e-4 if backend.is_32bits else 1e-9
-    if np.any(pu[live] < 1 - tol) or np.any(pv[live] < 1 - tol):
-        return None  # degenerate singular values mixing sectors
-    qnl_list = [uniq_l[i] for i in lu]
-    qnr_list = [uniq_r[i] for i in lv]
-    # bra/ket sector complementarity must hold for live columns
-    for i in np.nonzero(live)[0]:
-        if not np.all(np.array(qnl_list[i]) + np.array(qnr_list[i]) == qntot):
-            return None
-    return u, s, qnl_list, v, s, qnr_list
-
-
-def device_svd_enabled() -> bool:
-    """Device truncation policy: ``RENO_DEVICE_SVD=1`` opts in.
-
-    Benchmarked OFF by default: TPU's QDWH-based SVD of the full (l*d, d*r)
-    matrix takes seconds at M=256 — far slower than one bulk transfer plus
-    host LAPACK (the measured steady-state sweep regressed 8.3 s -> 48 s).
-    The path is kept for future hardware/XLA SVD improvements."""
-    import os
-
-    return os.environ.get("RENO_DEVICE_SVD", "0") == "1"

@@ -1,0 +1,320 @@
+r"""On-device quantum-number-blocked truncation (randomized, sector-pure).
+
+Replaces the host-LAPACK SVD in DMRG site updates (reference
+``renormalizer/mps/svd_qn.py:99-240`` semantics).  The design is driven by
+two measured facts about the target hardware:
+
+* the host has a single weak CPU (a 770x770 ``sgesdd`` costs ~600 ms) and the
+  device<->host tunnel moves ~30-60 MB/s with ~27 ms per blocking round trip,
+  so fetching the local coefficient tensor and factorizing it on the host
+  dominates the steady-state sweep;
+* on the TPU, dense SVD/eigh of the full local matrix is slow (QDWH, ~70 ms
+  at 1536^2) but matmuls and small eigh are essentially free.
+
+So the factorization is a *randomized range finder per quantum-number
+sector*, built only from MXU-friendly matmuls, Householder QR and one small
+projected eigh:
+
+    Y   = A @ Omega                 (range sketch, l1 columns)
+    Y   = qr(Y); Y = A (A^H Y)      (power iteration, sharpens the sketch)
+    Q   = qr([Y | Omega_c])         (orthonormal candidates; Omega_c adds
+                                     in-sector complement columns for
+                                     percent-based state allocation)
+    B   = Q^H A;  G = B B^H
+    lam, W = eigh(G);  U = Q W      (Rayleigh-Ritz: candidates sorted by
+                                     projected singular value)
+
+Each sector runs as its own (async) dispatch, so candidates are exactly
+sector-pure by construction — no cross-sector degeneracy hazards — and the
+only device->host traffic per site update is the ~KB vector of candidate
+singular values used by ``select_basis``.  When the sketch width reaches the
+sector rank the factorization is exact; otherwise it captures the top
+``cap + OVERSAMPLE`` states, which is all a truncation to ``cap`` states can
+keep (the result stays variational either way).
+
+The selected basis is applied on device: ``ms = U[:, idx]`` and
+``comp = ms^H C`` (to_right; mirrored for to_left), so the renormalized
+factors never leave HBM.
+"""
+
+from functools import lru_cache
+from typing import List, Tuple
+
+import numpy as np
+
+from renormalizer_tpu.backend import backend
+
+OVERSAMPLE = 32
+
+
+def linalg_enabled() -> bool:
+    """Generic gate for on-device qn-blocked factorizations (QR path).
+
+    ``RENO_DEVICE_TRUNC=1`` forces on, ``0`` forces off; defaults to on for
+    accelerator backends."""
+    import os
+
+    flag = os.environ.get("RENO_DEVICE_TRUNC", "")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    import jax
+
+    return jax.default_backend() != "cpu"
+
+
+def enabled(compress_config, percent) -> bool:
+    """Device-truncation policy.
+
+    ``RENO_DEVICE_TRUNC=1`` forces on, ``0`` forces off; by default the path
+    is active on accelerator backends for fixed-bonddim truncation (the DMRG
+    hot path).  Threshold-criteria truncation needs the full singular
+    spectrum for ``m_trunc`` and stays on the host for now.
+    """
+    import os
+
+    from renormalizer_tpu.utils.configs import CompressCriteria
+
+    flag = os.environ.get("RENO_DEVICE_TRUNC", "")
+    if flag == "0":
+        return False
+    if compress_config.criteria is not CompressCriteria.fixed:
+        return False
+    if flag == "1":
+        return True
+    import jax
+
+    return jax.default_backend() != "cpu"
+
+
+@lru_cache(maxsize=None)
+def _qr_factory(m: int, n: int, ml: int, nr: int, transpose: bool,
+                dtype_name: str):
+    """Jitted per-sector economy QR (or RQ when ``transpose``), scattered back
+    into the full row/column spaces.  Fully deterministic shapes — no
+    device->host traffic at all."""
+    import jax
+    import jax.numpy as jnp
+
+    k = min(ml, nr)
+
+    @jax.jit
+    def run(cmat, gr, gc):
+        block = cmat[gr][:, gc]  # (ml, nr)
+        if not transpose:
+            q, r = jnp.linalg.qr(block, mode="reduced")
+            pu, pv = q, r.T  # (ml, k), (nr, k)
+        else:
+            # RQ via QR of the flipped transpose (same as the host path)
+            q, r = jnp.linalg.qr(block[::-1, ::-1].T, mode="reduced")
+            pu = r[::-1, ::-1].T  # (ml, k) upper-left triangular factor
+            pv = q[::-1, ::-1]    # (nr, k) row-orthonormal factor, transposed
+        u_out = jnp.zeros((m, k), dtype=cmat.dtype).at[gr].set(pu)
+        v_out = jnp.zeros((n, k), dtype=cmat.dtype).at[gc].set(pv)
+        return u_out, v_out
+
+    return run
+
+
+def qr_qn_device(coef_array, qnbigl, qnbigr, qntot, system: str):
+    """On-device qn-blocked economy QR, API-compatible with
+    ``svd_qn.svd_qn(..., QR=True, full_matrices=False)``:
+    returns ``(u, qnl_list, v, qnr_list)`` with device ``u`` (m, K) /
+    ``v`` (n, K).  Runs entirely asynchronously (qn output is determined by
+    the host-known sector shapes)."""
+    import jax.numpy as jnp
+
+    from renormalizer_tpu.mps.svd_qn import _sector_indices
+
+    qntot = np.atleast_1d(np.asarray(qntot))
+    qn_size = len(qntot)
+    localqnl = np.asarray(qnbigl).reshape(-1, qn_size)
+    localqnr = np.asarray(qnbigr).reshape(-1, qn_size)
+    m, n = len(localqnl), len(localqnr)
+    sectors = _sector_indices(localqnl, localqnr, qntot)
+    if len(sectors) == 0:
+        raise ValueError("Invalid quantum number")
+
+    cmat = jnp.asarray(coef_array).reshape(m, n)
+    parts_u, parts_v = [], []
+    qnl_list: List[tuple] = []
+    qnr_list: List[tuple] = []
+    for nl, lset, rset in sectors:
+        ml, nr = len(lset), len(rset)
+        run = _qr_factory(m, n, ml, nr, system == "R", str(cmat.dtype))
+        pu, pv = run(cmat, _device_idx(lset.astype(np.int32)),
+                     _device_idx(rset.astype(np.int32)))
+        parts_u.append(pu)
+        parts_v.append(pv)
+        k = min(ml, nr)
+        qnl_list.extend([tuple(nl)] * k)
+        qnr_list.extend([tuple(np.asarray(qntot) - nl)] * k)
+    u = parts_u[0] if len(parts_u) == 1 else jnp.concatenate(parts_u, axis=1)
+    v = parts_v[0] if len(parts_v) == 1 else jnp.concatenate(parts_v, axis=1)
+    return u, qnl_list, v, qnr_list
+
+
+def _orth(z):
+    """Orthonormalize columns; exact even for rank-deficient input.
+
+    Householder QR is backward stable and completes deficient directions
+    with arbitrary orthonormal columns — which is exactly what the
+    complement states need.  Because each kernel operates on the gathered
+    rows of ONE quantum-number sector, row mixing cannot break sector
+    purity, and XLA's QR is matmul-based and fast on the MXU."""
+    import jax.numpy as jnp
+
+    return jnp.linalg.qr(z, mode="reduced")[0]
+
+
+@lru_cache(maxsize=None)
+def _sector_factory(m: int, n: int, ml: int, nr: int, l1: int, l2: int,
+                    transpose: bool, dtype_name: str):
+    """Jitted per-sector candidate kernel.
+
+    Takes the full (m, n) coefficient matrix plus the sector's row/column
+    gather indices; returns candidates scattered back into the full row
+    space (rows = n if ``transpose`` else m) and their projected singular
+    values squared, descending.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    rows_out = n if transpose else m
+    l_total = l1 + l2
+
+    @jax.jit
+    def run(cmat, gr, gc, key):
+        block = cmat[gr][:, gc]  # (ml, nr)
+        a = block.T if transpose else block  # (ra, rb)
+        ra, rb = a.shape
+        k1, k2 = jax.random.split(key)
+        omega = jax.random.normal(k1, (rb, l1), dtype=jnp.float32).astype(a.dtype)
+        y = _orth(a @ omega)
+        y = a @ (a.conj().T @ y)
+        if l2 > 0:
+            extra = jax.random.normal(k2, (ra, l2), dtype=jnp.float32).astype(a.dtype)
+            y = jnp.concatenate([y, extra], axis=1)
+        q = _orth(y)
+        b = q.conj().T @ a  # (l, rb)
+        g = b @ b.conj().T
+        lam, w = jnp.linalg.eigh(g)
+        lam = jnp.nan_to_num(jnp.maximum(lam[::-1], 0))
+        u = q @ w[:, ::-1]  # (ra, l) candidates, descending
+        scatter_idx = gc if transpose else gr
+        out = jnp.zeros((rows_out, l_total), dtype=cmat.dtype)
+        out = out.at[scatter_idx].set(u)
+        return out, lam
+
+    return run
+
+
+_IDX_CACHE = {}
+
+
+def _device_idx(arr: np.ndarray):
+    """Content-cached device copy of a host int index array."""
+    import jax.numpy as jnp
+
+    key = (arr.shape, arr.dtype.str, hash(arr.tobytes()))
+    hit = _IDX_CACHE.get(key)
+    if hit is None:
+        if len(_IDX_CACHE) > 4096:
+            _IDX_CACHE.clear()
+        hit = jnp.asarray(arr)
+        _IDX_CACHE[key] = hit
+    return hit
+
+
+def candidates(coef_array, qnbigl, qnbigr, qntot, system: str, cap: int,
+               want_complement: bool):
+    """Compute truncation candidates on device.
+
+    Returns ``(parts, sigma, qn_list)`` where ``parts`` is a list of device
+    matrices (rows x l_s, sector-major, already scattered into the full row
+    space of the kept side), ``sigma`` the host candidate singular values and
+    ``qn_list`` the per-candidate quantum numbers.  ``None`` when the sector
+    structure makes the device path unprofitable (degenerate tiny problem).
+    """
+    import jax.numpy as jnp
+    from renormalizer_tpu.mps.svd_qn import _sector_indices
+
+    qntot = np.atleast_1d(np.asarray(qntot))
+    qn_size = len(qntot)
+    localqnl = np.asarray(qnbigl).reshape(-1, qn_size)
+    localqnr = np.asarray(qnbigr).reshape(-1, qn_size)
+    m, n = len(localqnl), len(localqnr)
+    sectors = _sector_indices(localqnl, localqnr, qntot)
+    if len(sectors) == 0:
+        raise ValueError("Invalid quantum number")
+
+    cmat = jnp.asarray(coef_array).reshape(m, n)
+    transpose = system == "R"
+    key_base = _device_key()
+
+    parts = []
+    lams = []
+    qn_list: List[tuple] = []
+    for isec, (nl, lset, rset) in enumerate(sectors):
+        ml, nr = len(lset), len(rset)
+        rank = min(ml, nr)
+        l1 = min(rank, cap + OVERSAMPLE)
+        rows = nr if transpose else ml
+        l2 = min(max(rows - l1, 0), cap) if want_complement else 0
+        if l1 + l2 == 0:
+            continue
+        run = _sector_factory(m, n, ml, nr, l1, l2, transpose, str(cmat.dtype))
+        out, lam = run(cmat, _device_idx(lset.astype(np.int32)),
+                       _device_idx(rset.astype(np.int32)), key_base)
+        parts.append(out)
+        lams.append(lam)
+        label = tuple(nl) if not transpose else tuple(np.asarray(qntot) - nl)
+        qn_list.extend([label] * (l1 + l2))
+
+    # ONE small synchronous fetch: all candidate spectra at once
+    lam_all = np.asarray(jnp.concatenate(lams)) if len(lams) > 1 else np.asarray(lams[0])
+    sigma = np.sqrt(np.maximum(lam_all, 0))
+    return parts, sigma, qn_list
+
+
+@lru_cache(maxsize=None)
+def _device_key():
+    import jax
+
+    return jax.random.PRNGKey(backend.seed)
+
+
+@lru_cache(maxsize=None)
+def _apply_factory(nparts: int, transpose: bool):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(cmat, sel, *parts):
+        u = parts[0] if nparts == 1 else jnp.concatenate(parts, axis=1)
+        ms = u[:, sel]
+        if transpose:
+            # to_left: ms columns are conj(V); comp = C conj(ms) = U S
+            comp = cmat @ ms.conj()
+        else:
+            comp = ms.conj().T @ cmat  # = S V^H
+        return ms, comp
+
+    return run
+
+
+def apply_selection(coef_array, parts, sidx: np.ndarray, m: int, n: int,
+                    system: str):
+    """Gather the selected candidate columns and rotate the complement.
+
+    Returns ``(ms, comp)`` device matrices: to_right ``ms`` is (m, M) and
+    ``comp = ms^H C`` is (M, n); to_left ``ms`` is (n, M) (Vset convention,
+    i.e. conj(V)) and ``comp = C conj(ms)`` is (m, M).
+    """
+    import jax.numpy as jnp
+
+    cmat = jnp.asarray(coef_array).reshape(m, n)
+    run = _apply_factory(len(parts), system == "R")
+    sel = jnp.asarray(np.asarray(sidx, dtype=np.int32))
+    return run(cmat, sel, *parts)

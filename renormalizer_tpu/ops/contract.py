@@ -26,9 +26,29 @@ def _einsum_jit(formula: str, n: int):
     return fn
 
 
+def _is_oom(exc: Exception) -> bool:
+    msg = str(exc)
+    return "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg
+
+
 def einsum(formula: str, *arrays):
+    """Jit-cached einsum.  On HBM exhaustion, log the formula and operand
+    shapes before re-raising (reference ``oe_contract_wrap.py:37-58``) —
+    without this a multi-hour run dies with an opaque allocator error."""
     arrays = [jnp.asarray(a) for a in arrays]
-    return _einsum_jit(formula, len(arrays))(*arrays)
+    try:
+        return _einsum_jit(formula, len(arrays))(*arrays)
+    except Exception as e:
+        if _is_oom(e):
+            import logging
+
+            logging.getLogger(__name__).fatal(
+                "Device out of memory in einsum '%s' with operand shapes %s "
+                "(dtypes %s). Reduce the bond dimension or enable host "
+                "offload.", formula, [tuple(a.shape) for a in arrays],
+                [str(a.dtype) for a in arrays],
+            )
+        raise
 
 
 # --- environment single-site updates ------------------------------------

@@ -1,0 +1,103 @@
+"""On-device randomized sector-pure truncation (``mps/trunc_device.py``).
+
+Parity oracle: the host qn-blocked LAPACK SVD (``mps/svd_qn.py``), which is
+itself verified against the reference semantics by the DMRG/evolution suite.
+"""
+
+import numpy as np
+import pytest
+
+from renormalizer_tpu.mps import trunc_device
+from renormalizer_tpu.mps.lib import select_indices
+from renormalizer_tpu.mps.svd_qn import svd_qn
+
+
+def _blocked_matrix(rng, m, n, qntot):
+    qnl = rng.integers(0, 2, (m, 1))
+    qnr = rng.integers(0, 2, (n, 1))
+    c = rng.standard_normal((m, n))
+    c *= (qnl + qnr.T) == qntot
+    return c, qnl, qnr
+
+
+@pytest.mark.parametrize("system", ["L", "R"])
+def test_candidates_match_host_svd(system):
+    rng = np.random.default_rng(0)
+    m, n, cap = 90, 110, 40
+    c, qnl, qnr = _blocked_matrix(rng, m, n, np.array([1]))
+    parts, sigma, qn_list = trunc_device.candidates(
+        c, qnl, qnr, np.array([1]), system, cap, want_complement=False
+    )
+    _, su, qnl_ref, _, _, _ = svd_qn(
+        c, qnl, qnr, np.array([1]), system=system, full_matrices=False
+    )
+    s_ref = np.sort(su)[::-1]
+    s_dev = np.sort(sigma)[::-1]
+    k = min(cap, len(s_ref))
+    np.testing.assert_allclose(s_dev[:k], s_ref[:k], atol=1e-8)
+
+    sidx = select_indices(sigma, qn_list, cap, 0)
+    ms, comp = trunc_device.apply_selection(c, parts, sidx, m, n, system)
+    ms, comp = np.asarray(ms), np.asarray(comp)
+    # exact orthonormality
+    assert np.abs(ms.conj().T @ ms - np.eye(ms.shape[1])).max() < 1e-10
+    # sector purity of every kept column
+    qrow = qnl if system == "L" else qnr
+    for j in range(ms.shape[1]):
+        sup = np.abs(ms[:, j]) > 1e-12
+        assert len(set(map(tuple, qrow[sup]))) == 1
+    # optimal truncation residual
+    recon = ms @ comp if system == "L" else comp @ ms.T
+    resid = np.linalg.norm(c - recon)
+    resid_opt = np.sqrt(max(np.sum(s_ref**2) - np.sum(s_ref[:k] ** 2), 0))
+    assert resid < resid_opt * 1.0001 + 1e-9
+
+
+def test_complement_candidates_orthonormal():
+    """percent-based allocation needs valid zero-weight in-sector states."""
+    rng = np.random.default_rng(1)
+    m, n, cap = 90, 30, 25
+    c, qnl, qnr = _blocked_matrix(rng, m, n, np.array([1]))
+    parts, sigma, qn_list = trunc_device.candidates(
+        c, qnl, qnr, np.array([1]), "L", cap, want_complement=True
+    )
+    sidx = select_indices(sigma, qn_list, cap, 0.5)
+    ms, _ = trunc_device.apply_selection(c, parts, sidx, m, n, "L")
+    ms = np.asarray(ms)
+    assert np.abs(ms.conj().T @ ms - np.eye(ms.shape[1])).max() < 1e-9
+
+
+def test_zero_sector_block_is_safe():
+    """An all-zero sector must not poison the factorization with NaNs."""
+    rng = np.random.default_rng(2)
+    m, n = 60, 60
+    qnl = rng.integers(0, 2, (m, 1))
+    qnr = rng.integers(0, 2, (n, 1))
+    c = rng.standard_normal((m, n))
+    c *= (qnl + qnr.T) == 1
+    c[(qnl == 0).ravel()] = 0.0  # kill one sector entirely
+    parts, sigma, qn_list = trunc_device.candidates(
+        c, qnl, qnr, np.array([1]), "L", 20, want_complement=True
+    )
+    assert np.all(np.isfinite(sigma))
+    sidx = select_indices(sigma, qn_list, 20, 0)
+    ms, comp = trunc_device.apply_selection(c, parts, sidx, m, n, "L")
+    recon = np.asarray(ms) @ np.asarray(comp)
+    assert np.isfinite(recon).all()
+
+
+def test_dmrg_device_trunc_regression(monkeypatch):
+    """Full DMRG through the device-truncation path hits the GS regression."""
+    monkeypatch.setenv("RENO_DEVICE_TRUNC", "1")
+    from fixtures import holstein_model, GS_E
+    from renormalizer_tpu.mps import Mps, Mpo
+    from renormalizer_tpu.mps.gs import optimize_mps
+
+    mpo = Mpo(holstein_model)
+    mps = Mps.random(holstein_model, 1, 10, percent=1.0)
+    mps.optimize_config.procedure = [[10, 0.4], [20, 0.2], [30, 0.1], [40, 0], [40, 0]]
+    mps.optimize_config.method = "2site"
+    energies, opt_mps = optimize_mps(mps.copy(), mpo)
+    assert min(energies) == pytest.approx(GS_E, rel=1e-5)
+    assert opt_mps.check_left_canonical() or opt_mps.check_right_canonical()
+    assert opt_mps.expectation(mpo) == pytest.approx(GS_E, rel=1e-5)
