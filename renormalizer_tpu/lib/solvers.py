@@ -249,6 +249,20 @@ def davidson_multiroot(
     S = min(max_space, N)
     dtype = X0.dtype
 
+    if S < 2 * nroots:
+        # subspace too small for block iteration (tiny masked local problems
+        # at chain edges): new directions would overwrite the just-restarted
+        # Ritz vectors.  Solve densely instead — N is small here by
+        # construction.
+        eye = jnp.eye(N, dtype=dtype)
+        ham = jax.vmap(hop)(eye).T
+        # out-of-sector entries (flagged by the huge preconditioner diagonal)
+        # must not produce spurious zero modes
+        ham = ham + jnp.diag(jnp.where(hdiag > 1e9, hdiag, 0).astype(dtype))
+        w_eig, v = jnp.linalg.eigh((ham + ham.conj().T) / 2)
+        k = min(nroots, N)
+        return w_eig[:k].real, v[:, :k].T, jnp.asarray(0)
+
     def orth_rows(M):
         # Gram-Schmidt orthonormalize rows (differentiably safe enough here)
         q, _ = jnp.linalg.qr(M.T, mode="reduced")
@@ -500,23 +514,67 @@ _FB_B5 = np.array([16 / 135, 0, 6656 / 12825, 28561 / 56430, -9 / 50, 2 / 55])
 _FB_B4 = np.array([25 / 216, 0, 1408 / 2565, 2197 / 4104, -1 / 5, 0])
 
 
-def solve_ivp(fun, t_span, y0, rtol=1e-3, atol=1e-6, max_steps=100000, first_step=None):
+@jax.jit
+def _rk_step_finish(y, ks, dt, atol, rtol):
+    """Assemble the 5th/4th order solutions and the per-component-scaled
+    RMS error (SciPy's ``atol + rtol * max(|y0|, |y1|)`` rule,
+    ref ``lib/integrate/_ivp/rk.py``) in ONE device dispatch."""
+    b5 = jnp.asarray(_FB_B5).astype(ks.dtype)
+    b4 = jnp.asarray(_FB_B4).astype(ks.dtype)
+    y5 = y + dt * jnp.tensordot(b5, ks, axes=1)
+    y4 = y + dt * jnp.tensordot(b4, ks, axes=1)
+    scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y5))
+    err = jnp.sqrt(jnp.mean(jnp.abs((y5 - y4) / scale) ** 2))
+    return y5, err
+
+
+def _select_initial_step(fun, t0, y0, f0, direction, rtol, atol):
+    """SciPy's empirical initial-step rule (``_ivp/common.py``) — matching it
+    keeps our accepted-step counts comparable to the reference's."""
+    scale = atol + rtol * jnp.abs(y0)
+    d0 = float(jnp.sqrt(jnp.mean(jnp.abs(y0 / scale) ** 2)))
+    d1 = float(jnp.sqrt(jnp.mean(jnp.abs(f0 / scale) ** 2)))
+    h0 = 1e-6 if d0 < 1e-5 or d1 < 1e-5 else 0.01 * d0 / d1
+    y1 = y0 + h0 * direction * f0
+    f1 = jnp.asarray(fun(t0 + h0 * direction, y1))
+    d2 = float(jnp.sqrt(jnp.mean(jnp.abs((f1 - f0) / scale) ** 2))) / h0
+    if d1 <= 1e-15 and d2 <= 1e-15:
+        h1 = max(1e-6, h0 * 1e-3)
+    else:
+        h1 = (0.01 / max(d1, d2)) ** 0.2  # order 4+1
+    return min(100 * h0, h1)
+
+
+def solve_ivp(fun, t_span, y0, rtol=1e-3, atol=1e-6, max_steps=100000,
+              first_step=None, max_step=np.inf):
     """Adaptive RKF45 integration of ``dy/dt = fun(t, y)`` from ``t_span[0]``
-    to ``t_span[1]``.  Host-driven control loop; the six stage evaluations per
-    step run on device.  Returns :class:`IvpResult` (final state only)."""
+    to ``t_span[1]`` (final state only — the evolution schemes never need the
+    dense output).
+
+    The controller is host-driven because ``fun`` (the TDVP-VMF equation of
+    motion) contains host-side environment bookkeeping, but all vector math
+    runs on device and exactly ONE scalar (the scaled error) is fetched per
+    attempted step.  Error control is per-component ``atol + rtol*|y|`` with
+    SciPy's initial-step heuristic and step-factor clamps, so accepted-step
+    counts track the reference's vendored ``solve_ivp``."""
     t0, t1 = t_span
     y = jnp.asarray(y0)
     direction = np.sign(t1 - t0) if t1 != t0 else 1.0
     span = abs(t1 - t0)
     if span == 0:
         return IvpResult(y, t0, 0, 0)
-    h = first_step if first_step is not None else span / 10
-    h = min(h, span)
-    t = t0
     nfev = 0
+    if first_step is not None:
+        h = first_step
+    else:
+        f0 = jnp.asarray(fun(t0, y))
+        h = _select_initial_step(fun, t0, y, f0, direction, rtol, atol)
+        nfev += 2
+    h = min(h, span, max_step)
+    t = t0
     nsteps = 0
     while (t - t1) * direction < 0 and nsteps < max_steps:
-        h = min(h, abs(t1 - t))
+        h = min(h, abs(t1 - t), max_step)
         dt = direction * h
         ks = []
         for i in range(6):
@@ -526,15 +584,8 @@ def solve_ivp(fun, t_span, y0, rtol=1e-3, atol=1e-6, max_steps=100000, first_ste
                     yi = yi + dt * _FB_A[i, j] * ks[j]
             ks.append(jnp.asarray(fun(t + _FB_C[i] * dt, yi)))
             nfev += 1
-        y5 = y
-        y4 = y
-        for i in range(6):
-            if _FB_B5[i] != 0:
-                y5 = y5 + dt * _FB_B5[i] * ks[i]
-            if _FB_B4[i] != 0:
-                y4 = y4 + dt * _FB_B4[i] * ks[i]
-        scale = atol + rtol * float(jnp.max(jnp.abs(y5)))
-        err = float(jnp.linalg.norm(y5 - y4)) / (scale * np.sqrt(y.size))
+        y5, err_dev = _rk_step_finish(y, jnp.stack(ks), dt, atol, rtol)
+        err = float(err_dev)  # the single host sync per attempted step
         if not np.isfinite(err):
             # NaN/Inf from the RHS: shrink aggressively, count as a step
             # attempt so a divergent RHS cannot loop forever
@@ -549,7 +600,7 @@ def solve_ivp(fun, t_span, y0, rtol=1e-3, atol=1e-6, max_steps=100000, first_ste
             t = t + dt
             y = y5
             nsteps += 1
-            factor = 2.0 if err == 0 else min(2.0, max(0.2, 0.9 * err ** (-0.2)))
+            factor = 10.0 if err == 0 else min(10.0, max(0.2, 0.9 * err ** (-0.2)))
             h = h * factor
         else:
             h = h * max(0.2, 0.9 * err ** (-0.2))

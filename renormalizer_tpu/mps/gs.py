@@ -367,7 +367,19 @@ def eigh_iterative(mps, qn_mask, ltensor, rtensor, cmo, omega, cguess):
             return out[idx] * inverse
 
         nroots_arp = mps.optimize_config.nroots
-        lo = scipy.sparse.linalg.LinearOperator((len(idx), len(idx)), matvec=matvec)
+        if len(idx) <= nroots_arp:
+            # eigsh requires k < n; tiny masked subspaces go dense
+            return eigh_direct(mps, qn_mask, ltensor, rtensor, cmo, omega)
+        from renormalizer_tpu.backend import backend as _b
+
+        lts = ltensor if isinstance(ltensor, list) else [ltensor]
+        is_complex = any(
+            np.iscomplexobj(t) for t in [*lts, jnp.asarray(cguess[0])]
+        )
+        arp_dtype = _b.complex_dtype if is_complex else _b.real_dtype
+        lo = scipy.sparse.linalg.LinearOperator(
+            (len(idx), len(idx)), matvec=matvec, dtype=arp_dtype
+        )
         v0 = np.asarray(jnp.asarray(cguess[0]).ravel())[idx]
         w, v = scipy.sparse.linalg.eigsh(lo, k=nroots_arp, which="SA", v0=v0)
         if nroots_arp == 1:

@@ -104,3 +104,29 @@ def test_tdvp_with_global_mesh(mesh22):
     par.set_global_mesh(None)
     without = run()
     assert np.allclose(with_mesh, without, atol=1e-8)
+
+
+def test_ttns_with_global_mesh(mesh22):
+    """TTNS DMRG with the global mesh installed matches single-device
+    (the tree engine shares the contraction/solver layer; sites whose
+    formulas cannot shard fall back transparently)."""
+    from renormalizer_tpu.tn import BasisTree, TTNO, TTNS, optimize_ttns
+
+    nspin = 8
+    basis = [BasisHalfSpin(i) for i in range(nspin)]
+    tree = BasisTree.binary(basis)
+    ham = heisenberg_ops(nspin)
+    ttno = TTNO(tree, ham)
+
+    def run():
+        ttns = TTNS.random(tree, 0, 16)
+        e = optimize_ttns(ttns, ttno)
+        return min(np.min(np.asarray(x)) for x in e)
+
+    e_mesh = run()
+    par.set_global_mesh(None)
+    e_single = run()
+    model = Model(basis, ham)
+    e_exact = np.linalg.eigvalsh(dense_hamiltonian(model))[0]
+    assert abs(e_mesh - e_single) < 1e-9
+    assert abs(e_mesh - e_exact) < 1e-7
