@@ -1,6 +1,11 @@
 r"""Imaginary-time propagation of density matrices.
 
 Reference ``renormalizer/mps/thermalprop.py:13-168``.
+
+NOTICE: this module is deliberately a structural port of the reference
+driver for API parity — it is thin host-side orchestration; all device
+work happens in the engine layers (mps/, ops/, lib/), which are
+TPU-first redesigns.
 """
 
 import logging

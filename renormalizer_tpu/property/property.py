@@ -1,6 +1,11 @@
 """User-defined named MPO expectations collected per time step.
 
 Reference ``renormalizer/property/property.py:4-80``.
+
+NOTICE: this module is deliberately a structural port of the reference
+driver for API parity — it is thin host-side orchestration; all device
+work happens in the engine layers (mps/, ops/, lib/), which are
+TPU-first redesigns.
 """
 
 from typing import Dict, List, Union

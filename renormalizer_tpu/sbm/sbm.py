@@ -4,6 +4,11 @@ Reference ``renormalizer/sbm/sbm.py:13-100``: initial Hartree product state
 (vibrations at |0>, spin up), collects sigma_x/sigma_z expectations, the
 spin reduced density matrix and bond entropies.  Works at zero temperature
 or at finite temperature via the thermofield transformation.
+
+NOTICE: this module is deliberately a structural port of the reference
+driver for API parity — it is thin host-side orchestration; all device
+work happens in the engine layers (mps/, ops/, lib/), which are
+TPU-first redesigns.
 """
 
 import logging

@@ -1,5 +1,10 @@
 """Shared base for time-domain spectra jobs: collects the dipole-dipole
-autocorrelation function (reference ``renormalizer/spectra/base.py:12-45``)."""
+autocorrelation function (reference ``renormalizer/spectra/base.py:12-45``).
+NOTICE: this module is deliberately a structural port of the reference
+driver for API parity — it is thin host-side orchestration; all device
+work happens in the engine layers (mps/, ops/, lib/), which are
+TPU-first redesigns.
+"""
 
 import numpy as np
 

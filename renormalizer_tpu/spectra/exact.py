@@ -3,6 +3,11 @@ r"""Spectra via the exact local propagator (bond-1 e^{xH} for local H).
 Reference ``renormalizer/spectra/exact.py:16-116``.  Supports zero-T
 emission for any Holstein chain and abs/emi at any temperature for a single
 molecule.
+
+NOTICE: this module is deliberately a structural port of the reference
+driver for API parity — it is thin host-side orchestration; all device
+work happens in the engine layers (mps/, ops/, lib/), which are
+TPU-first redesigns.
 """
 
 import logging

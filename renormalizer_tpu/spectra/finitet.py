@@ -3,6 +3,11 @@ max-entangled density matrix, then real-time two-way propagation.
 
 Reference ``renormalizer/spectra/finitet.py:16-150``.  Emission conjugates
 the transition amplitude (``finitet.py:16-18``).
+
+NOTICE: this module is deliberately a structural port of the reference
+driver for API parity — it is thin host-side orchestration; all device
+work happens in the engine layers (mps/, ops/, lib/), which are
+TPU-first redesigns.
 """
 
 import logging

@@ -2,6 +2,11 @@ r"""Electron-phonon helpers for tree tensor networks.
 
 Reference ``renormalizer/tn/utils_eph.py``: max-entangled excited state for
 thermofield finite-temperature dynamics on a P/Q-doubled basis tree.
+
+NOTICE: this module is deliberately a structural port of the reference
+driver for API parity — it is thin host-side orchestration; all device
+work happens in the engine layers (mps/, ops/, lib/), which are
+TPU-first redesigns.
 """
 
 import numpy as np

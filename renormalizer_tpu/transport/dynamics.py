@@ -3,6 +3,11 @@ r"""Charge diffusion dynamics by TD-DMRG.
 Tracks mean-square displacement, real/k-space electron occupations, phonon
 occupations, coherence length and entropies.  Stops when the charge reaches
 the chain edge.  Reference ``renormalizer/transport/dynamics.py:24-295``.
+
+NOTICE: this module is deliberately a structural port of the reference
+driver for API parity — it is thin host-side orchestration; all device
+work happens in the engine layers (mps/, ops/, lib/), which are
+TPU-first redesigns.
 """
 
 import logging

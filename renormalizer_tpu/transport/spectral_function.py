@@ -8,6 +8,11 @@ stored per |i-j| (translational invariance) with its k-space transform.
 For finite-T use thermofield dynamics with a transformed Hamiltonian
 (J. Chem. Phys. 145, 224101 (2016)).
 Reference ``renormalizer/transport/spectral_function.py:15-137``.
+
+NOTICE: this module is deliberately a structural port of the reference
+driver for API parity — it is thin host-side orchestration; all device
+work happens in the engine layers (mps/, ops/, lib/), which are
+TPU-first redesigns.
 """
 
 import logging

@@ -87,15 +87,16 @@ def test_read_fcidump(tmp_path):
     assert nuc == 42.25
 
 
-H2O_FCIDUMP = "/root/reference/example/h2o_fcidump.txt"
+H2O_FCIDUMP = __import__("os").path.join(
+    __import__("os").path.dirname(__file__), "data", "h2o_fcidump.txt"
+)
 
 
-@pytest.mark.skipif(not __import__("os").path.exists(H2O_FCIDUMP),
-                    reason="H2O FCIDUMP data not available")
 def test_qc_dmrg_h2o():
     """H2O/STO-3G QC-DMRG vs the published FCI energy -75.008697516450
     (regression oracle of reference ``example/h2o_qc.py:47-60``); the FCIDUMP
-    integrals are read from the reference checkout as external data."""
+    integral data file is vendored in tests/data (standard-format quantum
+    chemistry data, originally from the reference's example set)."""
     from renormalizer_tpu.utils import OptimizeConfig
 
     h1e, h2e, nuc = read_fcidump(H2O_FCIDUMP, 7)
