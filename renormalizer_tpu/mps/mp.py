@@ -9,9 +9,11 @@ Mirrors the reference ``renormalizer/mps/mp.py:34-1227``; deliberate
 differences:
 
 * no ``Matrix`` wrapper — plain device arrays + helper functions;
-* no site-tensor disk offload (TPU HBM is the only storage tier for now);
-* decompositions run on device (see ``svd_qn.py``) so compression and
-  canonicalization never move site tensors to the host.
+* the reference's disk offload (``mp.py:1047-1080``) is replaced by
+  HBM<->host-RAM tiering (``offload.py``, RENO_HOST_OFFLOAD);
+* sweep decompositions run on device (``trunc_device.py`` randomized
+  sector-pure truncation + blockwise QR; host LAPACK ``svd_qn.py`` is the
+  CPU/fallback path), so site tensors never leave HBM on the hot path.
 """
 
 import logging
@@ -79,6 +81,9 @@ class MatrixProduct:
         # indices of site tensors currently offloaded to host RAM
         # (RENO_HOST_OFFLOAD tiering; reference disk offload ``mp.py:1047-1080``)
         self._cold_sites: set = set()
+        # async-truncation plans: (cidx, direction) -> (qn-pattern digest,
+        # device candidate spectrum of the previous visit)
+        self._trunc_plans: dict = {}
         self.dtype = backend.real_dtype
         self.model: Model = None
         self.compress_config: CompressConfig = CompressConfig()
@@ -615,7 +620,10 @@ class MatrixProduct:
         """On-device truncation of the active-site coefficient: randomized
         sector-pure candidates + host index selection + device gather/rotate
         (see ``trunc_device.py``).  Only the candidate singular values cross
-        the device boundary."""
+        the device boundary — and in async mode (steady-state sweeps with an
+        unchanged qn pattern) not even those: the selection reuses the
+        previous sweep's spectrum, fetched asynchronously in the meantime,
+        so the whole site update is dispatch-only."""
         from renormalizer_tpu.mps.lib import select_indices
 
         m = int(np.prod(qnbigl.shape[:-1]))
@@ -624,10 +632,35 @@ class MatrixProduct:
         cap = self.compress_config.compute_m_trunc(
             np.full(min(m, n), np.inf), bond_idx, self.to_right
         )
-        parts, sigma, qn_list = trunc_device.candidates(
+        use_async = percent == 0 and trunc_device.async_enabled()
+        plan_key = (tuple(cidx), bool(self.to_right))
+        pattern = None
+        if use_async:
+            import hashlib
+
+            h = hashlib.blake2b(digest_size=16)
+            h.update(np.ascontiguousarray(qnbigl).tobytes())
+            h.update(np.ascontiguousarray(qnbigr).tobytes())
+            h.update(str((tuple(np.atleast_1d(self.qntot)), cap, system)).encode())
+            pattern = h.digest()
+        parts, lam, qn_list = trunc_device.candidates(
             cstruct, qnbigl, qnbigr, self.qntot, system, cap,
-            want_complement=(percent != 0),
+            want_complement=(percent != 0), fetch=not use_async,
         )
+        if use_async:
+            plan = self._trunc_plans.get(plan_key)
+            if plan is not None and plan[0] == pattern:
+                # previous visit's spectrum: already copied to the host
+                sigma = np.sqrt(np.maximum(np.asarray(plan[1]), 0))
+            else:
+                sigma = np.sqrt(np.maximum(np.asarray(lam), 0))  # sync once
+            try:
+                lam.copy_to_host_async()
+            except Exception:
+                pass
+            self._trunc_plans[plan_key] = (pattern, lam)
+        else:
+            sigma = lam
         m_trunc = self.compress_config.compute_m_trunc(sigma, bond_idx, self.to_right)
         sidx = select_indices(sigma, qn_list, m_trunc, percent)
         msdim = len(sidx)
@@ -906,6 +939,7 @@ class MatrixProduct:
         new.to_right = self.to_right
         new._mt_hashes = [None] * len(self)
         new._cold_sites = set()
+        new._trunc_plans = {}
         return new
 
     def build_empty_mp(self, num):

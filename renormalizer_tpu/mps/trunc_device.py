@@ -227,15 +227,36 @@ def _device_idx(arr: np.ndarray):
     return hit
 
 
+def async_enabled() -> bool:
+    """Zero-sync steady-state sweeps: when a site's quantum-number pattern is
+    unchanged since the previous sweep, select the retained basis from the
+    PREVIOUS visit's candidate spectrum (fetched asynchronously in the
+    meantime) so the site update issues no blocking transfer at all.  The
+    per-sector split lags one sweep during convergence drift — variationally
+    safe, exact at steady state.  ``RENO_ASYNC_TRUNC=1/0`` overrides the
+    accelerator default."""
+    import os
+
+    flag = os.environ.get("RENO_ASYNC_TRUNC", "")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    import jax
+
+    return jax.default_backend() != "cpu"
+
+
 def candidates(coef_array, qnbigl, qnbigr, qntot, system: str, cap: int,
-               want_complement: bool):
+               want_complement: bool, fetch: bool = True):
     """Compute truncation candidates on device.
 
     Returns ``(parts, sigma, qn_list)`` where ``parts`` is a list of device
     matrices (rows x l_s, sector-major, already scattered into the full row
     space of the kept side), ``sigma`` the host candidate singular values and
-    ``qn_list`` the per-candidate quantum numbers.  ``None`` when the sector
-    structure makes the device path unprofitable (degenerate tiny problem).
+    ``qn_list`` the per-candidate quantum numbers.  With ``fetch=False`` the
+    second element is instead the DEVICE array of candidate lambda = sigma^2
+    (concatenated, sector-major) — nothing blocks.
     """
     import jax.numpy as jnp
     from renormalizer_tpu.mps.svd_qn import _sector_indices
@@ -272,9 +293,11 @@ def candidates(coef_array, qnbigl, qnbigr, qntot, system: str, cap: int,
         label = tuple(nl) if not transpose else tuple(np.asarray(qntot) - nl)
         qn_list.extend([label] * (l1 + l2))
 
+    lam_dev = jnp.concatenate(lams) if len(lams) > 1 else lams[0]
+    if not fetch:
+        return parts, lam_dev, qn_list
     # ONE small synchronous fetch: all candidate spectra at once
-    lam_all = np.asarray(jnp.concatenate(lams)) if len(lams) > 1 else np.asarray(lams[0])
-    sigma = np.sqrt(np.maximum(lam_all, 0))
+    sigma = np.sqrt(np.maximum(np.asarray(lam_dev), 0))
     return parts, sigma, qn_list
 
 

@@ -101,3 +101,19 @@ def test_dmrg_device_trunc_regression(monkeypatch):
     assert min(energies) == pytest.approx(GS_E, rel=1e-5)
     assert opt_mps.check_left_canonical() or opt_mps.check_right_canonical()
     assert opt_mps.expectation(mpo) == pytest.approx(GS_E, rel=1e-5)
+
+
+def test_dmrg_async_trunc_regression(monkeypatch):
+    """Zero-sync steady-state sweeps (selection from the previous sweep's
+    asynchronously fetched spectrum) converge to the same ground state."""
+    monkeypatch.setenv("RENO_DEVICE_TRUNC", "1")
+    monkeypatch.setenv("RENO_ASYNC_TRUNC", "1")
+    from fixtures import holstein_model, GS_E
+    from renormalizer_tpu.mps import Mps, Mpo
+    from renormalizer_tpu.mps.gs import optimize_mps
+
+    mpo = Mpo(holstein_model)
+    mps = Mps.random(holstein_model, 1, 10, percent=1.0)
+    mps.optimize_config.procedure = [[10, 0.4], [20, 0.2], [30, 0.1]] + [[40, 0]] * 3
+    energies, _ = optimize_mps(mps.copy(), mpo)
+    assert min(energies) == pytest.approx(GS_E, rel=1e-5)
