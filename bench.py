@@ -22,7 +22,7 @@ import time
 M = 256
 NMOLS = 6
 PH_LEVELS = [6, 6]
-NSWEEPS_MEASURE = 2
+NSWEEPS_MEASURE = 4
 _HERE = os.path.dirname(os.path.abspath(__file__))
 REF_CACHE = os.path.join(_HERE, "ref_bench.json")
 REF_TDVP_CACHE = os.path.join(_HERE, "ref_bench_tdvp.json")
@@ -283,8 +283,15 @@ def bench_reference():
         optimize_mps(mps3, mpo)
         t_all = time.time() - t0
         s_per_sweep = (t_all - t_warm) / NSWEEPS_MEASURE
+        blas_threads = {
+            k: os.environ.get(k)
+            for k in ("OMP_NUM_THREADS", "MKL_NUM_THREADS", "OPENBLAS_NUM_THREADS")
+        }
         with open(REF_CACHE, "w") as f:
-            json.dump({"s_per_sweep": s_per_sweep, "config": args, "M": M}, f)
+            json.dump({"s_per_sweep": s_per_sweep, "config": args, "M": M,
+                       "nsweeps_measured": NSWEEPS_MEASURE,
+                       "cpu_count": os.cpu_count(),
+                       "blas_threads_env": blas_threads}, f)
         return s_per_sweep
     except Exception as e:  # pragma: no cover
         print(f"# reference bench failed: {e}", file=sys.stderr)

@@ -335,16 +335,19 @@ def davidson_host(hop, cguess, precond, nroots=1, tol=1e-9, max_cycle=100,
     when ``nroots == 1``)."""
     if max_space is None:
         max_space = max(6 * nroots, 14)
-    x0 = [np.asarray(x, dtype=float) for x in cguess]
+    # dtype-aware: complex effective Hamiltonians (e.g. TDA on a complex
+    # state) keep complex trial vectors
+    dtype = np.result_type(float, *[np.asarray(x).dtype for x in cguess])
+    x0 = [np.asarray(x, dtype=dtype) for x in cguess]
     N = x0[0].shape[0]
     max_space = min(max_space, N)
 
-    V = np.zeros((0, N))
+    V = np.zeros((0, N), dtype=dtype)
 
     def add_vectors(vs, V):
         for v in vs:
-            v = v - V.T @ (V @ v) if len(V) else v.copy()
-            v = v - V.T @ (V @ v) if len(V) else v
+            v = v - V.T @ (V.conj() @ v) if len(V) else v.copy()
+            v = v - V.T @ (V.conj() @ v) if len(V) else v
             norm = np.linalg.norm(v)
             if norm > 1e-10:
                 V = np.vstack([V, v / norm])
@@ -354,8 +357,8 @@ def davidson_host(hop, cguess, precond, nroots=1, tol=1e-9, max_cycle=100,
     W = np.array([hop(v) for v in V])
     e_prev = None
     for it in range(max_cycle):
-        G = V @ W.T
-        G = (G + G.T) / 2
+        G = V.conj() @ W.T
+        G = (G + G.conj().T) / 2
         w_eig, c = np.linalg.eigh(G)
         k = min(nroots, len(w_eig))
         thetas = w_eig[:k]

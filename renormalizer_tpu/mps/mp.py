@@ -406,10 +406,17 @@ class MatrixProduct:
         s_list = []
         for idx in self.iter_idx_list(full=False):
             qnbigl, qnbigr, _ = self._get_big_qn([idx])
-            u, sigma, qnlset, v, _, qnrset = svd_qn.svd_qn(
-                self[idx], qnbigl, qnbigr, self.qntot,
-                system=system, full_matrices=False,
-            )
+            res = None
+            if trunc_device.linalg_enabled():
+                res = trunc_device.compress_factors(
+                    self[idx], qnbigl, qnbigr, self.qntot, system
+                )
+            if res is None:
+                res = svd_qn.svd_qn(
+                    self[idx], qnbigl, qnbigr, self.qntot,
+                    system=system, full_matrices=False,
+                )
+            u, sigma, qnlset, v, _, qnrset = res
             vt = v.T
             s_list.append(sigma)
             if temp_m_trunc is None:

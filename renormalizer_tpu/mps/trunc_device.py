@@ -88,6 +88,48 @@ def enabled(compress_config, percent) -> bool:
     return jax.default_backend() != "cpu"
 
 
+def compress_factors(coef_array, qnbigl, qnbigr, qntot, system: str):
+    """Device qn-blocked SVD factors for :meth:`MatrixProduct.compress`,
+    API-compatible with ``svd_qn(..., full_matrices=False)``:
+    ``(u, sigma, qnl_list, v, sigma, qnr_list)`` globally sorted by
+    descending singular value.  ``u``/``v`` are device matrices; only the
+    candidate spectrum is transferred.
+
+    Uses full-rank candidates (exact factorization) up to rank 2048, a
+    rank-1024 sketch above — returns ``None`` in the rare saturated case so
+    the caller falls back to the host path.
+    """
+    import jax.numpy as jnp
+
+    qntot = np.atleast_1d(np.asarray(qntot))
+    qn_size = len(qntot)
+    m = int(np.asarray(qnbigl).reshape(-1, qn_size).shape[0])
+    n = int(np.asarray(qnbigr).reshape(-1, qn_size).shape[0])
+    rank = min(m, n)
+    cap = rank if rank <= 2048 else 1024
+    parts, sigma, qn_kept = candidates(
+        coef_array, qnbigl, qnbigr, qntot, system, cap, want_complement=False
+    )
+    order = np.argsort(-sigma, kind="stable")
+    sigma = sigma[order]
+    if cap < rank and len(sigma) and sigma[-1] > 1e-10 * sigma[0]:
+        return None  # sketch may have missed live states: host fallback
+    ms, comp = apply_selection(coef_array, parts, order, m, n, system)
+    tiny = np.finfo(sigma.dtype).tiny ** 0.5
+    inv = jnp.asarray((1.0 / np.maximum(sigma, tiny)) * (sigma > 0))
+    if system == "L":
+        u = ms  # (m, k)
+        v = (comp * inv[:, None].astype(comp.dtype)).T  # V^H rows -> (n, k)
+        qnl_list = [tuple(q) for q in (np.asarray(qn_kept)[order])]
+        qnr_list = [tuple(np.asarray(qntot) - np.asarray(q)) for q in qnl_list]
+    else:
+        v = ms  # (n, k) Vset convention
+        u = comp * inv[None, :].astype(comp.dtype)  # (m, k) unscaled U
+        qnr_list = [tuple(q) for q in (np.asarray(qn_kept)[order])]
+        qnl_list = [tuple(np.asarray(qntot) - np.asarray(q)) for q in qnr_list]
+    return u, sigma, qnl_list, v, sigma, qnr_list
+
+
 @lru_cache(maxsize=None)
 def _qr_factory(m: int, n: int, ml: int, nr: int, transpose: bool,
                 dtype_name: str):

@@ -49,3 +49,30 @@ def test_complex_state():
     res = solve_ivp(f, (0.0, 2.0), y0, rtol=1e-8, atol=1e-11)
     exact = scipy.linalg.expm(-1j * h * 2.0) @ y0
     np.testing.assert_allclose(np.asarray(res.y), exact, atol=1e-6)
+
+
+def test_davidson_host_complex():
+    """davidson_host accepts complex Hermitian problems (TDA on complex
+    states; round-1 hardcoded float)."""
+    from renormalizer_tpu.lib.solvers import davidson_host
+
+    rng = np.random.default_rng(0)
+    n = 60
+    a = 0.1 * (rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n)))
+    a = (a + a.conj().T) / 2 + np.diag(np.arange(n) * 2.0)
+    w_ref = np.linalg.eigvalsh(a)
+
+    def hop(v):
+        return a @ v
+
+    def precond(r, e):
+        return r / (np.diag(a).real - e + 1e-4)
+
+    e, c = davidson_host(hop, [rng.standard_normal(n) + 0j], precond, tol=1e-10)
+    assert abs(e - w_ref[0]) < 1e-8
+    assert np.iscomplexobj(c)
+    e3, _ = davidson_host(
+        hop, [rng.standard_normal(n) + 0j for _ in range(3)], precond,
+        nroots=3, tol=1e-10,
+    )
+    np.testing.assert_allclose(e3, w_ref[:3], atol=1e-7)
