@@ -539,13 +539,15 @@ class MatrixProduct:
         averaged_ms = None
         if not isinstance(cstruct, list):
             if self.compress_config.ofs is None:
-                if trunc_device.enabled(self.compress_config, percent):
-                    ms, msdim, msqn, compms = self._update_mps_device(
+                if trunc_device.linalg_enabled():
+                    dev = self._update_mps_device(
                         cstruct, cidx, qnbigl, qnbigr, system, percent
                     )
-                    return self._write_back(
-                        None, cstruct, cidx, ms, msdim, msqn, compms, None
-                    )
+                    if dev is not None:
+                        ms, msdim, msqn, compms = dev
+                        return self._write_back(
+                            None, cstruct, cidx, ms, msdim, msqn, compms, None
+                        )
                 # complement padding (zero-singular-value columns) only
                 # matters when `percent` forces allocation into empty
                 # sectors; at percent=0 only the top singular vectors are
@@ -633,13 +635,23 @@ class MatrixProduct:
         so the whole site update is dispatch-only."""
         from renormalizer_tpu.mps.lib import select_indices
 
+        from renormalizer_tpu.utils.configs import CompressCriteria as _CC
+
         m = int(np.prod(qnbigl.shape[:-1]))
         n = int(np.prod(qnbigr.shape[:-1]))
         bond_idx = cidx[0] if self.to_right else cidx[-1]
-        cap = self.compress_config.compute_m_trunc(
-            np.full(min(m, n), np.inf), bond_idx, self.to_right
-        )
-        use_async = percent == 0 and trunc_device.async_enabled()
+        fixed = self.compress_config.criteria is _CC.fixed
+        if fixed:
+            cap = self.compress_config.compute_m_trunc(
+                np.full(min(m, n), np.inf), bond_idx, self.to_right
+            )
+        else:
+            # threshold criteria need the complete spectrum: use full-rank
+            # candidates (exact factorization) while that stays cheap
+            cap = min(m, n)
+            if cap > 2048:
+                return None  # host fallback
+        use_async = fixed and percent == 0 and trunc_device.async_enabled()
         plan_key = (tuple(cidx), bool(self.to_right))
         pattern = None
         if use_async:

@@ -107,24 +107,27 @@ def compress_factors(coef_array, qnbigl, qnbigr, qntot, system: str):
     n = int(np.asarray(qnbigr).reshape(-1, qn_size).shape[0])
     rank = min(m, n)
     cap = rank if rank <= 2048 else 1024
-    parts, sigma, qn_kept = candidates(
-        coef_array, qnbigl, qnbigr, qntot, system, cap, want_complement=False
+    parts, sigma, qn_kept, parts_v = candidates(
+        coef_array, qnbigl, qnbigr, qntot, system, cap, want_complement=False,
+        want_v=True,
     )
     order = np.argsort(-sigma, kind="stable")
     sigma = sigma[order]
     if cap < rank and len(sigma) and sigma[-1] > 1e-10 * sigma[0]:
         return None  # sketch may have missed live states: host fallback
-    ms, comp = apply_selection(coef_array, parts, order, m, n, system)
-    tiny = np.finfo(sigma.dtype).tiny ** 0.5
-    inv = jnp.asarray((1.0 / np.maximum(sigma, tiny)) * (sigma > 0))
+    sel = jnp.asarray(np.asarray(order, dtype=np.int32))
+    run = _gather_pair_factory(len(parts))
+    a_side, b_side = run(sel, *parts, *parts_v)
     if system == "L":
-        u = ms  # (m, k)
-        v = (comp * inv[:, None].astype(comp.dtype)).T  # V^H rows -> (n, k)
+        # kernel: C = a_side diag(sigma) b_side^H; host convention v = conj(V)
+        u = a_side
+        v = b_side.conj()
         qnl_list = [tuple(q) for q in (np.asarray(qn_kept)[order])]
         qnr_list = [tuple(np.asarray(qntot) - np.asarray(q)) for q in qnl_list]
     else:
-        v = ms  # (n, k) Vset convention
-        u = comp * inv[None, :].astype(comp.dtype)  # (m, k) unscaled U
+        # kernel ran on C^T: a_side = conj(V_C) (Vset), b_side = conj(U_C)
+        v = a_side
+        u = b_side.conj()
         qnr_list = [tuple(q) for q in (np.asarray(qn_kept)[order])]
         qnl_list = [tuple(np.asarray(qntot) - np.asarray(q)) for q in qnr_list]
     return u, sigma, qnl_list, v, sigma, qnr_list
@@ -212,18 +215,21 @@ def _orth(z):
 
 @lru_cache(maxsize=None)
 def _sector_factory(m: int, n: int, ml: int, nr: int, l1: int, l2: int,
-                    transpose: bool, dtype_name: str):
+                    transpose: bool, dtype_name: str, want_v: bool = False):
     """Jitted per-sector candidate kernel.
 
     Takes the full (m, n) coefficient matrix plus the sector's row/column
     gather indices; returns candidates scattered back into the full row
     space (rows = n if ``transpose`` else m) and their projected singular
-    values squared, descending.
+    values squared, descending.  With ``want_v`` the matching right factor
+    is computed too (sign-fixed QR of A^H U — proper orthonormal columns
+    even at zero singular value, which plain ``A^H U / sigma`` cannot give).
     """
     import jax
     import jax.numpy as jnp
 
     rows_out = n if transpose else m
+    rows_v = m if transpose else n
     l_total = l1 + l2
 
     @jax.jit
@@ -247,7 +253,21 @@ def _sector_factory(m: int, n: int, ml: int, nr: int, l1: int, l2: int,
         scatter_idx = gc if transpose else gr
         out = jnp.zeros((rows_out, l_total), dtype=cmat.dtype)
         out = out.at[scatter_idx].set(u)
-        return out, lam
+        if not want_v:
+            return out, lam
+        # right factor: A^H U = V diag(sigma) up to column phases.  QR makes
+        # the zero-sigma columns proper orthonormal completions; the diagonal
+        # phase of R restores the U<->V pairing (A ~ U diag(sigma) V^H).
+        t = a.conj().T @ u  # (rb, l)
+        qv, rv = jnp.linalg.qr(t, mode="reduced")
+        d = jnp.diagonal(rv)
+        tiny = jnp.finfo(lam.dtype).tiny
+        phase = jnp.where(jnp.abs(d) > tiny, d / jnp.maximum(jnp.abs(d), tiny), 1.0)
+        vmat = qv * phase[None, :].astype(qv.dtype)
+        scatter_v = gr if transpose else gc
+        out_v = jnp.zeros((rows_v, l_total), dtype=cmat.dtype)
+        out_v = out_v.at[scatter_v].set(vmat)
+        return out, lam, out_v
 
     return run
 
@@ -290,7 +310,8 @@ def async_enabled() -> bool:
 
 
 def candidates(coef_array, qnbigl, qnbigr, qntot, system: str, cap: int,
-               want_complement: bool, fetch: bool = True):
+               want_complement: bool, fetch: bool = True,
+               want_v: bool = False):
     """Compute truncation candidates on device.
 
     Returns ``(parts, sigma, qn_list)`` where ``parts`` is a list of device
@@ -317,6 +338,7 @@ def candidates(coef_array, qnbigl, qnbigr, qntot, system: str, cap: int,
     key_base = _device_key()
 
     parts = []
+    parts_v = []
     lams = []
     qn_list: List[tuple] = []
     for isec, (nl, lset, rset) in enumerate(sectors):
@@ -327,9 +349,15 @@ def candidates(coef_array, qnbigl, qnbigr, qntot, system: str, cap: int,
         l2 = min(max(rows - l1, 0), cap) if want_complement else 0
         if l1 + l2 == 0:
             continue
-        run = _sector_factory(m, n, ml, nr, l1, l2, transpose, str(cmat.dtype))
-        out, lam = run(cmat, _device_idx(lset.astype(np.int32)),
-                       _device_idx(rset.astype(np.int32)), key_base)
+        run = _sector_factory(m, n, ml, nr, l1, l2, transpose, str(cmat.dtype),
+                              want_v)
+        out = run(cmat, _device_idx(lset.astype(np.int32)),
+                  _device_idx(rset.astype(np.int32)), key_base)
+        if want_v:
+            out, lam, out_v = out
+            parts_v.append(out_v)
+        else:
+            out, lam = out
         parts.append(out)
         lams.append(lam)
         label = tuple(nl) if not transpose else tuple(np.asarray(qntot) - nl)
@@ -337,10 +365,12 @@ def candidates(coef_array, qnbigl, qnbigr, qntot, system: str, cap: int,
 
     lam_dev = jnp.concatenate(lams) if len(lams) > 1 else lams[0]
     if not fetch:
-        return parts, lam_dev, qn_list
+        ret = (parts, lam_dev, qn_list)
+        return ret + (parts_v,) if want_v else ret
     # ONE small synchronous fetch: all candidate spectra at once
     sigma = np.sqrt(np.maximum(np.asarray(lam_dev), 0))
-    return parts, sigma, qn_list
+    ret = (parts, sigma, qn_list)
+    return ret + (parts_v,) if want_v else ret
 
 
 @lru_cache(maxsize=None)
@@ -348,6 +378,21 @@ def _device_key():
     import jax
 
     return jax.random.PRNGKey(backend.seed)
+
+
+@lru_cache(maxsize=None)
+def _gather_pair_factory(nparts: int):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(sel, *parts):
+        pa, pb = parts[:nparts], parts[nparts:]
+        a = pa[0] if nparts == 1 else jnp.concatenate(pa, axis=1)
+        b = pb[0] if nparts == 1 else jnp.concatenate(pb, axis=1)
+        return a[:, sel], b[:, sel]
+
+    return run
 
 
 @lru_cache(maxsize=None)

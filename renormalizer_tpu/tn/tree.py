@@ -18,6 +18,7 @@ from renormalizer_tpu.model import Model, Op, OpSum
 from renormalizer_tpu.model.basis import BasisDummy, BasisSet
 from renormalizer_tpu.mps.lib import select_basis
 from renormalizer_tpu.mps.mps import Mps, normalize
+from renormalizer_tpu.mps import trunc_device
 from renormalizer_tpu.mps.svd_qn import add_outer, get_qn_mask, svd_qn
 from renormalizer_tpu.ops.contract import einsum_interleaved
 from renormalizer_tpu.tn.node import (
@@ -426,9 +427,15 @@ class TTNS(TTNBase):
         assert node.parent
         qnbigl, qnbigr, _ = self.get_qnmat(node, include_parent=False)
         tensor = node.tensor.reshape(-1, node.shape[-1])
-        u, qnlnew, v, qnrnew = svd_qn(
-            tensor, qnbigl, qnbigr, self.qntot, QR=True, system="L", full_matrices=False
-        )
+        if trunc_device.linalg_enabled():
+            u, qnlnew, v, qnrnew = trunc_device.qr_qn_device(
+                tensor, qnbigl, qnbigr, self.qntot, "L"
+            )
+        else:
+            u, qnlnew, v, qnrnew = svd_qn(
+                tensor, qnbigl, qnbigr, self.qntot, QR=True, system="L",
+                full_matrices=False,
+            )
         node.tensor = u.reshape(list(node.shape[:-1]) + [u.shape[1]])
         node.qn = np.array(qnlnew)
         return v
@@ -452,9 +459,15 @@ class TTNS(TTNBase):
     def decompose_to_child(self, node: TreeNodeTensor, ichild: int):
         """QR toward a child (reference ``tree.py:666-703``)."""
         qnbigl, qnbigr, tensor, shape = moveaxis(self, node, ichild)
-        u, qnl, v, qnr = svd_qn(
-            tensor, qnbigl, qnbigr, self.qntot, QR=True, system="L", full_matrices=False
-        )
+        if trunc_device.linalg_enabled():
+            u, qnl, v, qnr = trunc_device.qr_qn_device(
+                tensor, qnbigl, qnbigr, self.qntot, "L"
+            )
+        else:
+            u, qnl, v, qnr = svd_qn(
+                tensor, qnbigl, qnbigr, self.qntot, QR=True, system="L",
+                full_matrices=False,
+            )
         shape[-1] = u.shape[-1]
         node.tensor = jnp.moveaxis(u.reshape(shape), -1, ichild)
         node.children[ichild].qn = np.array(qnr)
@@ -473,9 +486,14 @@ class TTNS(TTNBase):
         """SVD-compress the bond to one child (reference ``tree.py:735-787``).
         Returns the untruncated singular values."""
         qnbigl, qnbigr, tensor, shape = moveaxis(self, node, ichild)
-        u, s, qnl, v, _, qnr = svd_qn(
-            tensor, qnbigl, qnbigr, self.qntot, full_matrices=False
-        )
+        res = None
+        if trunc_device.linalg_enabled():
+            res = trunc_device.compress_factors(
+                tensor, qnbigl, qnbigr, self.qntot, "L"
+            )
+        if res is None:
+            res = svd_qn(tensor, qnbigl, qnbigr, self.qntot, full_matrices=False)
+        u, s, qnl, v, _, qnr = res
         idx = self.node_idx[node.children[ichild]]
         if temp_m_trunc is None:
             m_trunc = self.compress_config.compute_m_trunc(s, idx, left=False)
@@ -858,28 +876,65 @@ class TTNS(TTNBase):
         assert parent is not None
         qnbigl, qnbigr, _ = self.get_qnmat(node, include_parent=True)
         dim1 = int(np.prod(qnbigl.shape[:-1]))
+        dim2 = int(np.prod(qnbigr.shape[:-1]))
         tensor = jnp.asarray(tensor).reshape(dim1, -1)
-        u, su, qnlnew, v, sv, qnrnew = svd_qn(tensor, qnbigl, qnbigr, self.qntot)
-        s = su if cano_parent else sv
-        if m is None:
-            m_trunc = self.compress_config.compute_m_trunc(
-                s, self.node_idx[node], left=False
-            )
-        else:
-            if isinstance(m, (list, tuple, np.ndarray)):
-                m_trunc = m[self.node_idx[node]]
+
+        from renormalizer_tpu.utils.configs import CompressCriteria as _CC
+
+        use_dev = trunc_device.linalg_enabled() and (
+            m is not None or self.compress_config.criteria is _CC.fixed
+        )
+        if use_dev:
+            # device candidates + host selection, like Mps._update_mps_device
+            from renormalizer_tpu.mps.lib import select_indices
+
+            if m is None:
+                cap = self.compress_config.compute_m_trunc(
+                    np.full(min(dim1, dim2), np.inf), self.node_idx[node],
+                    left=False,
+                )
+            elif isinstance(m, (list, tuple, np.ndarray)):
+                cap = int(m[self.node_idx[node]])
             else:
-                m_trunc = m
-            m_trunc = int(min(m_trunc, len(s)))
-        if cano_parent:
-            m_node, msdim, msqn, m_parent = select_basis(
-                u, su, qnlnew, v, m_trunc, percent=percent
+                cap = int(m)
+            system = "L" if cano_parent else "R"
+            parts, sigma, qn_list = trunc_device.candidates(
+                tensor, qnbigl, qnbigr, self.qntot, system, cap,
+                want_complement=(percent != 0),
             )
+            m_trunc = min(cap, len(sigma))
+            sidx = select_indices(sigma, qn_list, m_trunc, percent)
+            msdim = len(sidx)
+            msqn = np.array([qn_list[i] for i in sidx])
+            ms_mat, comp = trunc_device.apply_selection(
+                tensor, parts, sidx, dim1, dim2, system
+            )
+            if cano_parent:
+                m_node, m_parent = ms_mat, comp          # (dim1,k), (k,dim2)
+            else:
+                m_node, m_parent = comp, ms_mat.T        # (dim1,k), (k,dim2)
         else:
-            m_parent, msdim, msqn, m_node = select_basis(
-                v, sv, qnrnew, u, m_trunc, percent=percent
-            )
-        m_parent = m_parent.T
+            u, su, qnlnew, v, sv, qnrnew = svd_qn(tensor, qnbigl, qnbigr, self.qntot)
+            s = su if cano_parent else sv
+            if m is None:
+                m_trunc = self.compress_config.compute_m_trunc(
+                    s, self.node_idx[node], left=False
+                )
+            else:
+                if isinstance(m, (list, tuple, np.ndarray)):
+                    m_trunc = m[self.node_idx[node]]
+                else:
+                    m_trunc = m
+                m_trunc = int(min(m_trunc, len(s)))
+            if cano_parent:
+                m_node, msdim, msqn, m_parent = select_basis(
+                    u, su, qnlnew, v, m_trunc, percent=percent
+                )
+            else:
+                m_parent, msdim, msqn, m_node = select_basis(
+                    v, sv, qnrnew, u, m_trunc, percent=percent
+                )
+            m_parent = m_parent.T
         node.tensor = m_node.reshape(list(node.shape[:-1]) + [-1])
         if cano_parent:
             node.qn = msqn

@@ -117,3 +117,30 @@ def test_dmrg_async_trunc_regression(monkeypatch):
     mps.optimize_config.procedure = [[10, 0.4], [20, 0.2], [30, 0.1]] + [[40, 0]] * 3
     energies, _ = optimize_mps(mps.copy(), mpo)
     assert min(energies) == pytest.approx(GS_E, rel=1e-5)
+
+
+def test_ttns_device_path(monkeypatch):
+    """Tree engine through the device factorizations: expand + optimize."""
+    monkeypatch.setenv("RENO_DEVICE_TRUNC", "1")
+    from fixtures import exact_model, dense_hamiltonian
+    from renormalizer_tpu.tn import BasisTree, TTNO, TTNS, optimize_ttns
+
+    model = exact_model()
+    basis_tree = BasisTree.binary(model.basis)
+    ttno = TTNO(basis_tree, model.ham_terms)
+    ttns = TTNS(basis_tree, condition={0: 1})
+    ttns = ttns.expand_bond_dimension(ttno)  # exercises compress_factors + QR
+    ttns.check_canonical()
+
+    h = dense_hamiltonian(model)
+    dims = model.pbond_list
+    qn = np.array([
+        sum(model.basis[i].sigmaqn[np.unravel_index(s, dims)[i]][0]
+            for i in range(len(dims)))
+        for s in range(h.shape[0])
+    ])
+    sector = np.nonzero(qn == 1)[0]
+    e_exact = np.linalg.eigvalsh(h[np.ix_(sector, sector)])[0]
+    ttns2 = TTNS.random(basis_tree, 1, 16)
+    e_list = optimize_ttns(ttns2, ttno, [[16, 0.4], [16, 0.2], [16, 0], [16, 0]])
+    assert min(e_list) == pytest.approx(e_exact, abs=1e-7)
