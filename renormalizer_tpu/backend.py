@@ -101,6 +101,13 @@ class Backend:
             jax.config.update("jax_default_matmul_precision", matmul_prec)
         except Exception:  # pragma: no cover - unknown setting
             pass
+        # numerical sanitizer tier (reference analog: strict numpy errstate,
+        # ``utils/log.py:46-48``): RENO_DEBUG_NANS=1 makes jax re-run the
+        # offending primitive eagerly and raise on the first NaN/Inf, and
+        # numpy raise instead of warn.  Debug tool - slows everything down.
+        if os.environ.get("RENO_DEBUG_NANS", "0") == "1":
+            jax.config.update("jax_debug_nans", True)
+            np.seterr(divide="raise", over="raise", invalid="raise")
         _setup_compilation_cache()
         self.jax = jax
         self._seed = 2019

@@ -10,6 +10,7 @@ to a dense on-device ``eigh``.
 import logging
 from typing import List, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -388,10 +389,59 @@ def eigh_iterative(mps, qn_mask, ltensor, rtensor, cmo, omega, cguess):
         cs = [jnp.zeros(dim).at[jnp.asarray(idx)].set(jnp.asarray(v[:, i]))
               for i in range(nroots_arp)]
         return np.asarray(w), sign_fix(cs, nroots_arp)
+    if algo == "lobpcg":
+        # fully on-device LOBPCG (jax.experimental); the PRIMME-role option
+        # of the reference (``gs.py:486-576``).  lobpcg_standard finds the
+        # LARGEST eigenpairs, so solve (sigma - H) with a power-iteration
+        # upper bound sigma.
+        from jax.experimental.sparse.linalg import lobpcg_standard
+
+        if stacked or hdiag is None:
+            hdiag_l, expr_l = get_ham_iterative(
+                mps, qn_mask, ltensor, rtensor, cmo, omega
+            ) if not stacked else (hdiag, expr)
+        else:
+            hdiag_l, expr_l = hdiag, expr
+
+        def hop_l(x):
+            x = jnp.where(mask_flat, x, 0)
+            out = expr_l(x.reshape(mask_shape)) * inverse
+            return jnp.where(mask_flat, out.ravel(), 0)
+
+        x = jnp.where(mask_flat, jnp.asarray(cguess[0]).ravel(), 0)
+        x = x / jnp.linalg.norm(x)
+        for _ in range(10):
+            hx = hop_l(x)
+            lam_max = jnp.vdot(x, hx).real
+            x = hx / jnp.linalg.norm(hx)
+        sigma_shift = jnp.abs(lam_max) * 1.2 + 1.0
+
+        def a_op(xmat):  # (n, k) -> (n, k)
+            out = jax.vmap(lambda col: sigma_shift * col - hop_l(col),
+                           in_axes=1, out_axes=1)(xmat)
+            # out-of-sector components must sit at eigenvalue 0 (not sigma),
+            # far below the shifted spectrum of interest
+            return jnp.where(mask_flat[:, None], out, 0)
+
+        rng = np.random.default_rng(2021)
+        cols = [jnp.where(mask_flat, jnp.asarray(g).ravel(), 0) for g in cguess]
+        while len(cols) < nroots:
+            cols.append(jnp.where(
+                mask_flat, jnp.asarray(rng.random(qn_mask.size) - 0.5), 0
+            ))
+        x0mat = jnp.stack(cols, axis=1)
+        thetas, vecs, n_iter = lobpcg_standard(a_op, x0mat, m=100)
+        e_vals = sigma_shift - thetas
+        if nroots == 1:
+            return e_vals[0], sign_fix(vecs[:, 0], 1)
+        return (
+            np.asarray(e_vals),
+            sign_fix([vecs[:, i] for i in range(nroots)], nroots),
+        )
     if algo != "davidson":
         raise NotImplementedError(
             f"eigensolver algo={algo} is not available; use 'davidson', "
-            "'arpack' or 'direct'"
+            "'arpack', 'lobpcg' or 'direct'"
         )
     # convergence threshold scaled to the working precision
     from renormalizer_tpu.backend import backend as _backend

@@ -348,3 +348,13 @@ def test_optimize_arpack():
     mps.optimize_config.algo = "arpack"
     energies, _ = optimize_mps(mps, Mpo(model))
     assert abs(min(np.min(np.asarray(e)) for e in energies) - 0.3361574408) < 1e-7
+
+
+def test_dmrg_lobpcg():
+    """On-device LOBPCG eigensolver option reproduces the GS regression."""
+    mpo = Mpo(holstein_model)
+    mps = Mps.random(holstein_model, 1, 10, percent=1.0)
+    mps.optimize_config.procedure = [[10, 0.4], [20, 0.2], [30, 0.1], [40, 0], [40, 0]]
+    mps.optimize_config.algo = "lobpcg"
+    energies, _ = optimize_mps(mps.copy(), mpo)
+    assert min(energies) == pytest.approx(GS_E, rel=1e-5)
