@@ -215,7 +215,8 @@ def _orth(z):
 
 @lru_cache(maxsize=None)
 def _sector_factory(m: int, n: int, ml: int, nr: int, l1: int, l2: int,
-                    transpose: bool, dtype_name: str, want_v: bool = False):
+                    transpose: bool, dtype_name: str, want_v: bool = False,
+                    eigh_impl: str = "xla"):
     """Jitted per-sector candidate kernel.
 
     Takes the full (m, n) coefficient matrix plus the sector's row/column
@@ -247,7 +248,12 @@ def _sector_factory(m: int, n: int, ml: int, nr: int, l1: int, l2: int,
         q = _orth(y)
         b = q.conj().T @ a  # (l, rb)
         g = b @ b.conj().T
-        lam, w = jnp.linalg.eigh(g)
+        if eigh_impl == "jacobi":
+            from renormalizer_tpu.ops.jacobi import jacobi_eigh
+
+            lam, w = jacobi_eigh(g)
+        else:
+            lam, w = jnp.linalg.eigh(g)
         lam = jnp.nan_to_num(jnp.maximum(lam[::-1], 0))
         u = q @ w[:, ::-1]  # (ra, l) candidates, descending
         scatter_idx = gc if transpose else gr
@@ -349,8 +355,14 @@ def candidates(coef_array, qnbigl, qnbigr, qntot, system: str, cap: int,
         l2 = min(max(rows - l1, 0), cap) if want_complement else 0
         if l1 + l2 == 0:
             continue
+        eigh_impl = "xla"
+        if not np.issubdtype(np.dtype(str(cmat.dtype)), np.complexfloating):
+            from renormalizer_tpu.ops.jacobi import pallas_eigh_enabled
+
+            if pallas_eigh_enabled():
+                eigh_impl = "jacobi"
         run = _sector_factory(m, n, ml, nr, l1, l2, transpose, str(cmat.dtype),
-                              want_v)
+                              want_v, eigh_impl)
         out = run(cmat, _device_idx(lset.astype(np.int32)),
                   _device_idx(rset.astype(np.int32)), key_base)
         if want_v:

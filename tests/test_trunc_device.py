@@ -144,3 +144,37 @@ def test_ttns_device_path(monkeypatch):
     ttns2 = TTNS.random(basis_tree, 1, 16)
     e_list = optimize_ttns(ttns2, ttno, [[16, 0.4], [16, 0.2], [16, 0], [16, 0]])
     assert min(e_list) == pytest.approx(e_exact, abs=1e-7)
+
+
+def test_pallas_jacobi_eigh_matches_lapack():
+    """The Pallas parallel-Jacobi eigensolver (interpret mode on CPU)."""
+    from renormalizer_tpu.ops.jacobi import jacobi_eigh
+
+    rng = np.random.default_rng(3)
+    for n in (24, 96):
+        a = rng.standard_normal((n, n))
+        a = (a + a.T) / 2
+        w, v = jacobi_eigh(a)
+        w, v = np.asarray(w), np.asarray(v)
+        np.testing.assert_allclose(w, np.linalg.eigvalsh(a), atol=1e-11)
+        assert np.abs(v.T @ v - np.eye(n)).max() < 1e-12
+        assert np.abs(a @ v - v * w[None, :]).max() < 1e-11
+
+
+def test_candidates_with_pallas_eigh(monkeypatch):
+    """Device truncation with the Pallas Jacobi Rayleigh-Ritz step."""
+    monkeypatch.setenv("RENO_PALLAS_EIGH", "1")
+    trunc_device._sector_factory.cache_clear()
+    rng = np.random.default_rng(4)
+    m, n, cap = 70, 90, 30
+    c, qnl, qnr = _blocked_matrix(rng, m, n, np.array([1]))
+    parts, sigma, qn_list = trunc_device.candidates(
+        c, qnl, qnr, np.array([1]), "L", cap, want_complement=False
+    )
+    _, su, _, _, _, _ = svd_qn(c, qnl, qnr, np.array([1]), system="L",
+                               full_matrices=False)
+    k = min(cap, len(su))
+    np.testing.assert_allclose(
+        np.sort(sigma)[::-1][:k], np.sort(su)[::-1][:k], atol=1e-8
+    )
+    trunc_device._sector_factory.cache_clear()
