@@ -886,6 +886,7 @@ class TTNS(TTNBase):
         )
         if use_dev:
             # device candidates + host selection, like Mps._update_mps_device
+            # (incl. the zero-sync async plan reuse at steady state)
             from renormalizer_tpu.mps.lib import select_indices
 
             if m is None:
@@ -898,10 +899,35 @@ class TTNS(TTNBase):
             else:
                 cap = int(m)
             system = "L" if cano_parent else "R"
-            parts, sigma, qn_list = trunc_device.candidates(
+            use_async = percent == 0 and trunc_device.async_enabled()
+            pattern = None
+            if use_async:
+                import hashlib
+
+                hh = hashlib.blake2b(digest_size=16)
+                hh.update(np.ascontiguousarray(qnbigl).tobytes())
+                hh.update(np.ascontiguousarray(qnbigr).tobytes())
+                hh.update(str((tuple(np.atleast_1d(self.qntot)), cap, system)).encode())
+                pattern = hh.digest()
+            parts, lam, qn_list = trunc_device.candidates(
                 tensor, qnbigl, qnbigr, self.qntot, system, cap,
-                want_complement=(percent != 0),
+                want_complement=(percent != 0), fetch=not use_async,
             )
+            if use_async:
+                plans = self.__dict__.setdefault("_trunc_plans", {})
+                plan_key = (self.node_idx[node], bool(cano_parent))
+                plan = plans.get(plan_key)
+                if plan is not None and plan[0] == pattern:
+                    sigma = np.sqrt(np.maximum(np.asarray(plan[1]), 0))
+                else:
+                    sigma = np.sqrt(np.maximum(np.asarray(lam), 0))
+                try:
+                    lam.copy_to_host_async()
+                except Exception:
+                    pass
+                plans[plan_key] = (pattern, lam)
+            else:
+                sigma = lam
             m_trunc = min(cap, len(sigma))
             sidx = select_indices(sigma, qn_list, m_trunc, percent)
             msdim = len(sidx)
