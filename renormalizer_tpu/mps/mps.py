@@ -947,10 +947,18 @@ class Mps(MatrixProduct):
 
                 if self.evolve_config.method == EvolveMethod.tdvp_mu_vmf:
                     qnbigl, qnbigr, _ = environ_mps._get_big_qn([imps + 1])
-                    u, s, qnlset, v, _, qnrset = svd_qn.svd_qn(
-                        environ_mps[imps + 1], qnbigl, qnbigr,
-                        environ_mps.qntot, system="R", full_matrices=False,
-                    )
+                    res = None
+                    if trunc_device.linalg_enabled():
+                        res = trunc_device.compress_factors(
+                            environ_mps[imps + 1], qnbigl, qnbigr,
+                            environ_mps.qntot, "R",
+                        )
+                    if res is None:
+                        res = svd_qn.svd_qn(
+                            environ_mps[imps + 1], qnbigl, qnbigr,
+                            environ_mps.qntot, system="R", full_matrices=False,
+                        )
+                    u, s, qnlset, v, _, qnrset = res
                     vt = v.T
                     environ_mps[imps + 1] = vt.reshape(environ_mps[imps + 1].shape)
                     rtensor = environ.GetLR("R", imps + 1, environ_mps, mpo_now, method="System")
