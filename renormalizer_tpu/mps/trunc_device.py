@@ -232,6 +232,10 @@ def _sector_factory(m: int, n: int, ml: int, nr: int, l1: int, l2: int,
     rows_out = n if transpose else m
     rows_v = m if transpose else n
     l_total = l1 + l2
+    if want_v:
+        # the right factor comes from QR of (rb, l); complement candidates
+        # beyond the b-side dimension have no right factor
+        assert l2 == 0 and l_total <= (ml if transpose else nr)
 
     @jax.jit
     def run(cmat, gr, gc, key):
