@@ -22,11 +22,31 @@ import pytest
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_between_modules():
     """Cap memory growth across the suite: each module leaves hundreds of
-    compiled executables and device buffers behind."""
+    compiled executables and device buffers behind.  Our own lru_cache'd
+    jit factories keep executables alive past jax.clear_caches(), so clear
+    those too."""
     yield
     import gc
 
     import jax
 
+    def _clear(module_name, *attrs):
+        import importlib
+        import sys
+
+        mod = sys.modules.get(module_name)
+        if mod is None:
+            return
+        for attr in attrs:
+            fn = getattr(mod, attr, None)
+            if hasattr(fn, "cache_clear"):
+                fn.cache_clear()
+
+    _clear("renormalizer_tpu.mps.trunc_device",
+           "_sector_factory", "_qr_factory", "_apply_factory",
+           "_gather_pair_factory")
+    _clear("renormalizer_tpu.ops.contract", "_einsum_jit")
+    _clear("renormalizer_tpu.ops.jacobi", "_jacobi_factory")
+    _clear("renormalizer_tpu.lib.solvers", "_davidson_factory", "_expm_factory")
     jax.clear_caches()
     gc.collect()
