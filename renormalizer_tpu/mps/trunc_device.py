@@ -64,30 +64,6 @@ def linalg_enabled() -> bool:
     return jax.default_backend() != "cpu"
 
 
-def enabled(compress_config, percent) -> bool:
-    """Device-truncation policy.
-
-    ``RENO_DEVICE_TRUNC=1`` forces on, ``0`` forces off; by default the path
-    is active on accelerator backends for fixed-bonddim truncation (the DMRG
-    hot path).  Threshold-criteria truncation needs the full singular
-    spectrum for ``m_trunc`` and stays on the host for now.
-    """
-    import os
-
-    from renormalizer_tpu.utils.configs import CompressCriteria
-
-    flag = os.environ.get("RENO_DEVICE_TRUNC", "")
-    if flag == "0":
-        return False
-    if compress_config.criteria is not CompressCriteria.fixed:
-        return False
-    if flag == "1":
-        return True
-    import jax
-
-    return jax.default_backend() != "cpu"
-
-
 def compress_factors(coef_array, qnbigl, qnbigr, qntot, system: str):
     """Device qn-blocked SVD factors for :meth:`MatrixProduct.compress`,
     API-compatible with ``svd_qn(..., full_matrices=False)``:
