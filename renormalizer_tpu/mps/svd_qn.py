@@ -1,15 +1,13 @@
-r"""Quantum-number-blocked SVD / QR / eigh.
+r"""Quantum-number-blocked SVD / QR / eigh — host LAPACK path.
 
 Counterpart of the reference's blockwise decompositions
-(``renormalizer/mps/svd_qn.py:99-302``) with a deliberate host/device split:
-the site tensor is brought to the host in ONE bulk transfer and the many
-small per-sector factorizations run in LAPACK.  TPUs excel at large fused
-einsums (the Davidson/CG hot loops) but are poor at sequences of tiny
-SVD/QR kernels — each distinct sector shape would trigger a fresh XLA
-compilation and a device round-trip, which profiling showed dominating the
-sweep time (~70%) on tunneled TPU setups.  The factors returned are NumPy;
-they are promoted back to device arrays lazily at their next use inside a
-fused contraction.
+(``renormalizer/mps/svd_qn.py:99-302``).  Since round 2 this is the
+CPU-platform and fallback implementation: on accelerators the sweep
+decompositions run on device (``mps/trunc_device.py``), and this module's
+exact LAPACK semantics serve as the parity oracle for them.  The site tensor
+is brought to the host in ONE bulk transfer and the per-sector
+factorizations run in LAPACK; the factors returned are NumPy and are
+promoted back to device arrays lazily at their next use.
 
 Layout convention matches the reference: the input coefficient tensor is
 reshaped to a matrix (super-L-block x super-R-block); each valid sector
