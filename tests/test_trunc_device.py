@@ -178,3 +178,36 @@ def test_candidates_with_pallas_eigh(monkeypatch):
         np.sort(sigma)[::-1][:k], np.sort(su)[::-1][:k], atol=1e-8
     )
     trunc_device._sector_factory.cache_clear()
+
+
+def test_candidates_multi_component_qn():
+    """Two-component quantum numbers (the QC (N_alpha, N_beta) case)."""
+    rng = np.random.default_rng(5)
+    m, n, cap = 80, 100, 30
+    qnl = rng.integers(0, 2, (m, 2))
+    qnr = rng.integers(0, 2, (n, 2))
+    qntot = np.array([1, 1])
+    c = rng.standard_normal((m, n))
+    c *= np.all(qnl[:, None, :] + qnr[None, :, :] == qntot, axis=-1)
+    parts, sigma, qn_list = trunc_device.candidates(
+        c, qnl, qnr, qntot, "L", cap, want_complement=False
+    )
+    _, su, qnl_ref, _, _, _ = svd_qn(c, qnl, qnr, qntot, system="L",
+                                     full_matrices=False)
+    k = min(cap, len(su))
+    np.testing.assert_allclose(
+        np.sort(sigma)[::-1][:k], np.sort(su)[::-1][:k], atol=1e-8
+    )
+    sidx = select_indices(sigma, qn_list, cap, 0)
+    ms, comp = trunc_device.apply_selection(c, parts, sidx, m, n, "L")
+    ms = np.asarray(ms)
+    assert np.abs(ms.T @ ms - np.eye(ms.shape[1])).max() < 1e-10
+    # every kept column is pure in BOTH qn components
+    for j in range(ms.shape[1]):
+        sup = np.abs(ms[:, j]) > 1e-12
+        assert len(set(map(tuple, qnl[sup]))) == 1
+    # full device SVD factors too
+    res = trunc_device.compress_factors(c, qnl, qnr, qntot, "L")
+    u, s, _, v, _, _ = res
+    rec = (np.asarray(u) * s) @ np.asarray(v).T
+    assert np.abs(rec - c).max() < 1e-10
