@@ -301,17 +301,17 @@ def bench_reference():
 
 
 def main():
-    # the tunneled TPU occasionally throws transient runtime errors
-    # (UNIMPLEMENTED / device unavailable); retry once before giving up
+    # the tunneled TPU throws transient runtime errors (UNIMPLEMENTED /
+    # device unavailable / plugin init failures); retry with backoff
     last_err = None
-    for attempt in range(2):
+    for attempt in range(4):
         try:
             value, energy, model = bench_tpu()
             break
         except Exception as e:  # pragma: no cover - environment flakiness
             last_err = e
             print(f"# bench attempt {attempt} failed: {e}", file=sys.stderr)
-            time.sleep(60)
+            time.sleep(30 * (attempt + 1))
     else:
         raise last_err
     ref = bench_reference()
