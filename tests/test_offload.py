@@ -58,3 +58,33 @@ def test_cold_site_transparent_restore(tiering):
     # iteration/getitem restore transparently
     assert mps.expectation(mpo) == pytest.approx(e_before, rel=1e-12)
     assert len(mps._cold_sites) == 0
+
+
+def test_tdvp_with_offload_matches(tiering):
+    """Evolution with tiering active reproduces untiered dynamics."""
+    from fixtures import exact_model
+    from renormalizer_tpu.model import Op
+    from renormalizer_tpu.utils import EvolveConfig, EvolveMethod
+
+    model = exact_model()
+    mpo = Mpo(model)
+
+    def run():
+        mps = Mps.hartree_product_state(model, {model.e_dofs[0]: 1})
+        mps = mps.expand_bond_dimension(hint_mpo=mpo)
+        mps.compress_config.dump_matrix_size = 1  # offload everything cold
+        mps.evolve_config = EvolveConfig(EvolveMethod.tdvp_ps)
+        for _ in range(3):
+            mps = mps.evolve(mpo, 0.2)
+        return np.array(
+            mps.expectations([Op(r"a^\dagger a", d) for d in model.e_dofs])
+        )
+
+    with_tiering = run()
+    offload.hot_window.cache_clear()
+    import os
+
+    os.environ["RENO_HOST_OFFLOAD"] = "0"
+    offload.hot_window.cache_clear()
+    without = run()
+    np.testing.assert_allclose(with_tiering, without, atol=1e-10)
