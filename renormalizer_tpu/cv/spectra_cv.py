@@ -28,13 +28,14 @@ logger = logging.getLogger(__name__)
 class _Worker:
     """One in-flight frequency sweep pinned to a device."""
 
-    def __init__(self, solver, omegas, device):
+    def __init__(self, solver, omegas, indices, device):
         self.solver = solver
         self.omegas = list(omegas)
+        self.indices = list(indices)  # global positions in freq_reg
         self.device = device
         self.gen = None
         self.current = None
-        self.results = []  # (omega, value)
+        self.results = []  # (global_index, value)
 
     def step(self) -> bool:
         """Advance one site update; False when the whole chunk is done."""
@@ -49,12 +50,12 @@ class _Worker:
             if self.gen is None:
                 if not self.omegas:
                     return False
-                self.current = self.omegas.pop(0)
-                self.gen = self.solver._cv_solve_steps(self.current)
+                self.current = (self.omegas.pop(0), self.indices.pop(0))
+                self.gen = self.solver._cv_solve_steps(self.current[0])
             try:
                 next(self.gen)
             except StopIteration as stop:
-                self.results.append((self.current, stop.value))
+                self.results.append((self.current[1], stop.value))
                 self.gen = None
         return True
 
@@ -83,24 +84,36 @@ def batch_run(freq_reg, cores, obj, filename=None):
         f"{nworkers} interleaved in-process workers over "
         f"{min(nworkers, len(devices))} device(s)"
     )
-    # contiguous chunks keep the warm-start continuity in omega
-    chunks = np.array_split(np.asarray(freq_reg), nworkers)
+    # contiguous chunks keep the warm-start continuity in omega; workers
+    # carry the global positions so duplicate omegas stay well-ordered
+    idx_chunks = np.array_split(np.arange(len(freq_reg)), nworkers)
     workers = []
-    for w, chunk in enumerate(chunks):
-        if len(chunk) == 0:
+    for w, idx in enumerate(idx_chunks):
+        if len(idx) == 0:
             continue
         device = devices[w % len(devices)]
         solver = obj.clone_for_batch(device)
-        workers.append(_Worker(solver, chunk, device))
+        workers.append(
+            _Worker(solver, [freq_reg[i] for i in idx], idx, device)
+        )
+
+    def _collect():
+        pairs = sorted(pair for wk in workers for pair in wk.results)
+        return [v for _, v in pairs]
+
     live = list(workers)
+    n_done = 0
     while live:
         live = [wk for wk in live if wk.step()]
-    order = {omega: i for i, omega in enumerate(freq_reg)}
-    pairs = sorted(
-        (pair for wk in workers for pair in wk.results),
-        key=lambda p: order[p[0]],
-    )
-    spectra = [v for _, v in pairs]
+        if filename is not None:
+            # checkpoint after every completed frequency point, like the
+            # serial path (and the reference's pool.imap loop): a crash
+            # mid-run must not lose the finished points
+            done = sum(len(wk.results) for wk in workers)
+            if done != n_done:
+                n_done = done
+                np.save(f"{filename}", _collect())
+    spectra = _collect()
     if filename is not None:
         np.save(f"{filename}", spectra)
     return spectra

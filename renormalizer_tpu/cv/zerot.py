@@ -27,7 +27,7 @@ from renormalizer_tpu.utils import OptimizeConfig
 logger = logging.getLogger(__name__)
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=128)
 def _cg_factory(formula: str, cshape, eta: float, tol: float):
     dim = int(np.prod(cshape))
 

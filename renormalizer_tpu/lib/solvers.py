@@ -138,7 +138,7 @@ def davidson(
 _OUT_OF_SECTOR = 1e10
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=512)
 def _davidson_factory(formula: str, cshape: Tuple[int, ...], inverse: float,
                       tol: float, max_cycle: int, max_space: int,
                       mesh=None, operand_shapes=None, diag_mode: str = None):
@@ -215,15 +215,36 @@ def davidson_fused(formula, operands, cshape, x0_full, hdiag_full, mask,
     fn = _davidson_factory(formula, tuple(cshape), float(inverse), float(tol),
                            int(max_cycle), int(max_space), mesh, operand_shapes,
                            diag_mode)
+    reshard = _mesh_replicator(mesh)
+    operands = [reshard(o) for o in operands]
     if diag_mode is not None:
         assert hdiag_full is None
         return fn(
-            jnp.asarray(x0_full).ravel(), jnp.asarray(mask).ravel(), *operands
+            reshard(jnp.asarray(x0_full).ravel()),
+            reshard(jnp.asarray(mask).ravel()), *operands
         )
     return fn(
-        jnp.asarray(x0_full).ravel(), jnp.asarray(hdiag_full).ravel(),
-        jnp.asarray(mask).ravel(), *operands
+        reshard(jnp.asarray(x0_full).ravel()),
+        reshard(jnp.asarray(hdiag_full).ravel()),
+        reshard(jnp.asarray(mask).ravel()), *operands
     )
+
+
+def _mesh_replicator(mesh):
+    """Identity without a mesh; with one, re-places arrays as replicated
+    over the mesh.  Needed because arrays committed to a single device
+    (e.g. sector-parallel truncation outputs copied back to their home
+    device) may not feed a ``shard_map`` over the full mesh directly."""
+    if mesh is None:
+        return lambda x: x
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    sharding = NamedSharding(mesh, PartitionSpec())
+
+    def put(x):
+        return jax.device_put(jnp.asarray(x), sharding)
+
+    return put
 
 
 def davidson_multiroot(
@@ -375,7 +396,7 @@ def davidson_host(hop, cguess, precond, nroots=1, tol=1e-9, max_cycle=100,
         e_prev = thetas
         if len(V) + k > max_space:
             # thick restart with the current ritz vectors
-            V = np.zeros((0, N))
+            V = np.zeros((0, N), dtype=V.dtype)
             V = add_vectors(list(X), V)
             W = np.array([hop(v) for v in V])
         new_dirs = [precond(R[i], thetas[i]) for i in range(k)]
@@ -449,7 +470,7 @@ def expm_krylov(hop: Callable, dt, v0, max_m: int = 30, tol: float = 1e-12):
     return _lanczos_expm(hop, jnp.asarray(dt), v0, m_max)
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=512)
 def _expm_factory(formula: str, cshape: Tuple[int, ...], max_m: int,
                   mesh=None, operand_shapes=None):
     sharded_hop = None
@@ -476,18 +497,42 @@ def expm_krylov_fused(formula, operands, dt, c0, max_m: int = 30):
     cached per (formula, shape).  The entire local propagation is one XLA
     computation: zero host round-trips and no per-call retracing.
 
+    Mixed real/complex operands are unified to one dtype *outside* the jitted
+    kernel: a real-dtype MPO tensor inside a complex Lanczos einsum is legal
+    XLA but crashed the tunneled-TPU compiler (round-2 bench SIGABRT,
+    ``ElementIsComplex`` on the f32 W operand), so the convert must not
+    appear inside the fused graph.  With ``RENO_SPLIT_COMPLEX=1`` complex
+    propagations instead run the all-real split kernels
+    (:mod:`renormalizer_tpu.lib.split_complex`) so no complex dtype reaches
+    the compiler at all.
+
     With a global mesh installed (``parallel.set_global_mesh``) the matvec
     is bond-tensor-parallel when the bond dimensions divide the mesh."""
     from renormalizer_tpu.parallel.mesh import get_global_mesh
 
     c0 = jnp.asarray(c0)
+    operands = [jnp.asarray(o) for o in operands]
+    is_cplx = jnp.issubdtype(c0.dtype, jnp.complexfloating) or any(
+        jnp.issubdtype(o.dtype, jnp.complexfloating) for o in operands
+    )
+    if is_cplx:
+        from renormalizer_tpu.lib.split_complex import (
+            expm_krylov_split, split_complex_enabled)
+
+        if split_complex_enabled():
+            return expm_krylov_split(formula, operands, dt, c0, max_m)
+        common = jnp.result_type(c0.dtype, *[o.dtype for o in operands])
+        c0 = c0.astype(common)
+        operands = [o.astype(common) for o in operands]
     m = int(min(max_m, c0.size))
     mesh = get_global_mesh()
     operand_shapes = (
         tuple(tuple(np.shape(o)) for o in operands) if mesh is not None else None
     )
     fn = _expm_factory(formula, tuple(c0.shape), m, mesh, operand_shapes)
-    return fn(jnp.asarray(dt), c0, *[jnp.asarray(o) for o in operands])
+    reshard = _mesh_replicator(mesh)
+    return fn(jnp.asarray(dt), reshard(c0),
+              *[reshard(jnp.asarray(o)) for o in operands])
 
 
 # ---------------------------------------------------------------------------

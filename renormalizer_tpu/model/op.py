@@ -156,7 +156,8 @@ class Op:
         --------
         >>> from renormalizer_tpu.model import Op
         >>> op = Op("X Y", [3, 2], 0.5) * Op("Y X", [2, 3], 3.0) * Op("Z Z", [2, 2], 1.0)
-        >>> op.split_elementary({2:0, 3:1})
+        >>> ops, factor = op.split_elementary({2:0, 3:1})
+        >>> ops, float(factor)
         ([Op('Y Y Z Z', [2, 2, 2, 2], 1.0), Op('X X', [3, 3], 1.0)], 1.5)
         """
         if len(self.dofs) == 1:

@@ -367,7 +367,7 @@ class MatrixProduct:
         (reference ``mp.py:890-908``)."""
         qnbigl, qnbigr, _ = self._get_big_qn([idx])
         system = "L" if self.to_right else "R"
-        if trunc_device.linalg_enabled():
+        if trunc_device.linalg_enabled(self[idx]):
             # fully asynchronous on-device blockwise QR (no host sync at all)
             u, qnlset, v, qnrset = trunc_device.qr_qn_device(
                 self[idx], qnbigl, qnbigr, self.qntot, system
@@ -407,7 +407,7 @@ class MatrixProduct:
         for idx in self.iter_idx_list(full=False):
             qnbigl, qnbigr, _ = self._get_big_qn([idx])
             res = None
-            if trunc_device.linalg_enabled():
+            if trunc_device.linalg_enabled(self[idx]):
                 res = trunc_device.compress_factors(
                     self[idx], qnbigl, qnbigr, self.qntot, system
                 )
@@ -539,7 +539,7 @@ class MatrixProduct:
         averaged_ms = None
         if not isinstance(cstruct, list):
             if self.compress_config.ofs is None:
-                if trunc_device.linalg_enabled():
+                if trunc_device.linalg_enabled(cstruct):
                     dev = self._update_mps_device(
                         cstruct, cidx, qnbigl, qnbigr, system, percent
                     )

@@ -795,7 +795,7 @@ class Mps(MatrixProduct):
                 )
 
                 qnbigl, qnbigr, _ = mps._get_big_qn([imps])
-                if trunc_device.linalg_enabled():
+                if trunc_device.linalg_enabled(mps_t):
                     u, qnlset, v, qnrset = trunc_device.qr_qn_device(
                         mps_t, qnbigl, qnbigr, mps.qntot, system
                     )
@@ -948,10 +948,13 @@ class Mps(MatrixProduct):
                 if self.evolve_config.method == EvolveMethod.tdvp_mu_vmf:
                     qnbigl, qnbigr, _ = environ_mps._get_big_qn([imps + 1])
                     res = None
-                    if trunc_device.linalg_enabled():
+                    if trunc_device.linalg_enabled(environ_mps[imps + 1]):
+                        # the factors are reshaped back into the full tensor
+                        # shape below, so a sketch-mode (rank-deficient)
+                        # result is unusable: demand an exact factorization
                         res = trunc_device.compress_factors(
                             environ_mps[imps + 1], qnbigl, qnbigr,
-                            environ_mps.qntot, "R",
+                            environ_mps.qntot, "R", want_exact=True,
                         )
                     if res is None:
                         res = svd_qn.svd_qn(

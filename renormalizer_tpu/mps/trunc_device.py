@@ -47,13 +47,21 @@ from renormalizer_tpu.backend import backend
 OVERSAMPLE = 32
 
 
-def linalg_enabled() -> bool:
+def linalg_enabled(arr=None) -> bool:
     """Generic gate for on-device qn-blocked factorizations (QR path).
 
     ``RENO_DEVICE_TRUNC=1`` forces on, ``0`` forces off; defaults to on for
-    accelerator backends."""
+    accelerator backends.  When ``arr`` is given and is complex while
+    ``RENO_SPLIT_COMPLEX=1`` (no complex dtypes may reach the device
+    compiler), the device path reports itself unavailable so call sites fall
+    back to the host factorization."""
     import os
 
+    if arr is not None and os.environ.get("RENO_SPLIT_COMPLEX", "") == "1":
+        import numpy as _np
+
+        if _np.iscomplexobj(arr):
+            return False
     flag = os.environ.get("RENO_DEVICE_TRUNC", "")
     if flag == "0":
         return False
@@ -64,7 +72,8 @@ def linalg_enabled() -> bool:
     return jax.default_backend() != "cpu"
 
 
-def compress_factors(coef_array, qnbigl, qnbigr, qntot, system: str):
+def compress_factors(coef_array, qnbigl, qnbigr, qntot, system: str,
+                     want_exact: bool = False):
     """Device qn-blocked SVD factors for :meth:`MatrixProduct.compress`,
     API-compatible with ``svd_qn(..., full_matrices=False)``:
     ``(u, sigma, qnl_list, v, sigma, qnr_list)`` globally sorted by
@@ -73,7 +82,11 @@ def compress_factors(coef_array, qnbigl, qnbigr, qntot, system: str):
 
     Uses full-rank candidates (exact factorization) up to rank 2048, a
     rank-1024 sketch above — returns ``None`` in the rare saturated case so
-    the caller falls back to the host path.
+    the caller falls back to the host path.  ``want_exact`` callers (e.g. the
+    TDVP-VMF gauge rotation, which reshapes the right factor back into the
+    full tensor shape) refuse sketch mode outright: they get ``None``
+    whenever the factorization could legitimately return fewer than
+    ``min(m, n)`` columns.
     """
     import jax.numpy as jnp
 
@@ -82,6 +95,8 @@ def compress_factors(coef_array, qnbigl, qnbigr, qntot, system: str):
     m = int(np.asarray(qnbigl).reshape(-1, qn_size).shape[0])
     n = int(np.asarray(qnbigr).reshape(-1, qn_size).shape[0])
     rank = min(m, n)
+    if want_exact and rank > 2048:
+        return None  # sketch mode cannot guarantee a full-rank factorization
     cap = rank if rank <= 2048 else 1024
     parts, sigma, qn_kept, parts_v = candidates(
         coef_array, qnbigl, qnbigr, qntot, system, cap, want_complement=False,
@@ -109,7 +124,7 @@ def compress_factors(coef_array, qnbigl, qnbigr, qntot, system: str):
     return u, sigma, qnl_list, v, sigma, qnr_list
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=512)
 def _qr_factory(m: int, n: int, ml: int, nr: int, transpose: bool,
                 dtype_name: str):
     """Jitted per-sector economy QR (or RQ when ``transpose``), scattered back
@@ -189,7 +204,7 @@ def _orth(z):
     return jnp.linalg.qr(z, mode="reduced")[0]
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=512)
 def _sector_factory(m: int, n: int, ml: int, nr: int, l1: int, l2: int,
                     transpose: bool, dtype_name: str, want_v: bool = False,
                     eigh_impl: str = "xla"):
@@ -261,16 +276,19 @@ def _sector_factory(m: int, n: int, ml: int, nr: int, l1: int, l2: int,
 _IDX_CACHE = {}
 
 
-def _device_idx(arr: np.ndarray):
+def _device_idx(arr: np.ndarray, device=None):
     """Content-cached device copy of a host int index array."""
+    import jax
     import jax.numpy as jnp
 
-    key = (arr.shape, arr.dtype.str, hash(arr.tobytes()))
+    # keyed on the raw bytes (index arrays are tiny): a 64-bit hash
+    # collision would silently gather wrong rows into the kernel
+    key = (arr.shape, arr.dtype.str, arr.tobytes(), device)
     hit = _IDX_CACHE.get(key)
     if hit is None:
         if len(_IDX_CACHE) > 4096:
             _IDX_CACHE.clear()
-        hit = jnp.asarray(arr)
+        hit = jnp.asarray(arr) if device is None else jax.device_put(arr, device)
         _IDX_CACHE[key] = hit
     return hit
 
@@ -295,6 +313,17 @@ def async_enabled() -> bool:
     return jax.default_backend() != "cpu"
 
 
+def sector_parallel_enabled() -> bool:
+    """Distribute the independent per-sector candidate kernels round-robin
+    over the global mesh's devices (SURVEY §2.6 axis (a): each sector is its
+    own dispatch, trivially placeable).  ``RENO_SECTOR_PARALLEL=0`` forces
+    single-device; default on whenever a multi-device global mesh is
+    installed."""
+    import os
+
+    return os.environ.get("RENO_SECTOR_PARALLEL", "") != "0"
+
+
 def candidates(coef_array, qnbigl, qnbigr, qntot, system: str, cap: int,
                want_complement: bool, fetch: bool = True,
                want_v: bool = False):
@@ -306,7 +335,13 @@ def candidates(coef_array, qnbigl, qnbigr, qntot, system: str, cap: int,
     ``qn_list`` the per-candidate quantum numbers.  With ``fetch=False`` the
     second element is instead the DEVICE array of candidate lambda = sigma^2
     (concatenated, sector-major) — nothing blocks.
+
+    With a multi-device global mesh installed the sector kernels run
+    round-robin across the mesh (results are copied back to the source
+    device for the gather step) — bit-identical to the single-device path
+    because each sector's kernel and PRNG key are unchanged.
     """
+    import jax
     import jax.numpy as jnp
     from renormalizer_tpu.mps.svd_qn import _sector_indices
 
@@ -322,6 +357,20 @@ def candidates(coef_array, qnbigl, qnbigr, qntot, system: str, cap: int,
     cmat = jnp.asarray(coef_array).reshape(m, n)
     transpose = system == "R"
     key_base = _device_key()
+
+    sector_devs = None
+    if len(sectors) > 1 and sector_parallel_enabled():
+        from renormalizer_tpu.parallel.mesh import get_global_mesh
+
+        mesh = get_global_mesh()
+        if mesh is not None:
+            devs = list(np.asarray(mesh.devices).flat)
+            if len(devs) > 1:
+                sector_devs = devs
+    home_dev = None
+    cmat_by_dev = {}
+    if sector_devs is not None:
+        home_dev = next(iter(cmat.devices()))
 
     parts = []
     parts_v = []
@@ -343,13 +392,28 @@ def candidates(coef_array, qnbigl, qnbigr, qntot, system: str, cap: int,
                 eigh_impl = "jacobi"
         run = _sector_factory(m, n, ml, nr, l1, l2, transpose, str(cmat.dtype),
                               want_v, eigh_impl)
-        out = run(cmat, _device_idx(lset.astype(np.int32)),
-                  _device_idx(rset.astype(np.int32)), key_base)
+        dev = None
+        cmat_s, key_s = cmat, key_base
+        if sector_devs is not None:
+            dev = sector_devs[isec % len(sector_devs)]
+            cmat_s = cmat_by_dev.get(dev)
+            if cmat_s is None:
+                cmat_s = jax.device_put(cmat, dev)
+                cmat_by_dev[dev] = cmat_s
+            key_s = jax.device_put(key_base, dev)
+        out = run(cmat_s, _device_idx(lset.astype(np.int32), dev),
+                  _device_idx(rset.astype(np.int32), dev), key_s)
         if want_v:
             out, lam, out_v = out
-            parts_v.append(out_v)
         else:
             out, lam = out
+        if dev is not None and dev != home_dev:
+            out = jax.device_put(out, home_dev)
+            lam = jax.device_put(lam, home_dev)
+            if want_v:
+                out_v = jax.device_put(out_v, home_dev)
+        if want_v:
+            parts_v.append(out_v)
         parts.append(out)
         lams.append(lam)
         label = tuple(nl) if not transpose else tuple(np.asarray(qntot) - nl)
@@ -365,14 +429,14 @@ def candidates(coef_array, qnbigl, qnbigr, qntot, system: str, cap: int,
     return ret + (parts_v,) if want_v else ret
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=512)
 def _device_key():
     import jax
 
     return jax.random.PRNGKey(backend.seed)
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=512)
 def _gather_pair_factory(nparts: int):
     import jax
     import jax.numpy as jnp
@@ -387,7 +451,7 @@ def _gather_pair_factory(nparts: int):
     return run
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=512)
 def _apply_factory(nparts: int, transpose: bool):
     import jax
     import jax.numpy as jnp

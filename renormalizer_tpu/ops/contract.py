@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=256)
 def _einsum_jit(formula: str, n: int):
     """A jitted einsum closure for `formula` over `n` operands."""
 
@@ -34,8 +34,17 @@ def _is_oom(exc: Exception) -> bool:
 def einsum(formula: str, *arrays):
     """Jit-cached einsum.  On HBM exhaustion, log the formula and operand
     shapes before re-raising (reference ``oe_contract_wrap.py:37-58``) —
-    without this a multi-hour run dies with an opaque allocator error."""
+    without this a multi-hour run dies with an opaque allocator error.
+
+    Mixed real/complex operand lists are unified to the promoted dtype
+    *before* the jitted call: an in-graph real->complex convert is legal XLA
+    but crashes the tunneled-TPU compiler (round-2 ``ElementIsComplex``
+    SIGABRT), and environment updates mix a complex state with a real MPO
+    whenever real-time evolution runs."""
     arrays = [jnp.asarray(a) for a in arrays]
+    if any(jnp.issubdtype(a.dtype, jnp.complexfloating) for a in arrays):
+        common = jnp.result_type(*[a.dtype for a in arrays])
+        arrays = [a.astype(common) for a in arrays]
     try:
         return _einsum_jit(formula, len(arrays))(*arrays)
     except Exception as e:
@@ -177,8 +186,9 @@ def hop_expr(ltensor, rtensor, cmo, cshape, twolayer: bool = False):
             operands = (ltensor, cmo[0], cmo[0], rtensor)
         else:
             operands = (ltensor, cmo[0], cmo[0], cmo[1], cmo[1], rtensor)
-        fn = _einsum_jit(formula, len(operands) + 1)
-        return lambda c: fn(*operands, jnp.asarray(c))
+        # route through einsum() so mixed real/complex operand lists are
+        # dtype-unified outside the jitted graph (tunneled-TPU compiler bug)
+        return lambda c: einsum(formula, *operands, c)
 
     formula, _ = _HOP_FORMULAS[(nsite, ancilla if nsite else False, False)]
     if nsite == 0:
@@ -187,8 +197,7 @@ def hop_expr(ltensor, rtensor, cmo, cshape, twolayer: bool = False):
         operands = (ltensor, cmo[0], rtensor)
     else:
         operands = (ltensor, cmo[0], cmo[1], rtensor)
-    fn = _einsum_jit(formula, len(operands) + 1)
-    return lambda c: fn(*operands, jnp.asarray(c))
+    return lambda c: einsum(formula, *operands, c)
 
 
 # --- effective-H diagonals for preconditioning ----------------------------

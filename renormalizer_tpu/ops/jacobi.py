@@ -35,7 +35,7 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=128)
 def _jacobi_factory(n: int, sweeps: int, interpret: bool):
     """Jitted pallas eigensolver for (n, n) symmetric float32/float64,
     n even.  Returns (eigenvalues (n,), eigenvectors (n, n) columns)."""
@@ -76,7 +76,7 @@ def _jacobi_factory(n: int, sweeps: int, interpret: bool):
             aqq = jnp.sum(a[m:, m:] * eye_m, axis=1)
             apq = jnp.sum(a[:m, m:] * eye_m, axis=1)
             # Rutishauser rotation: zero a_pq
-            safe = jnp.abs(apq) > 1e-300
+            safe = jnp.abs(apq) > jnp.finfo(a.dtype).tiny
             theta = (aqq - app) / jnp.where(safe, 2 * apq, 1.0)
             sgn = jnp.where(theta >= 0, 1.0, -1.0).astype(theta.dtype)
             t = sgn / (jnp.abs(theta) + jnp.sqrt(1.0 + theta * theta))

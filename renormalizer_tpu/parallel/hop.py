@@ -26,7 +26,7 @@ except ImportError:  # pragma: no cover
     from jax.shard_map import shard_map
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=128)
 def _parse_shard_axes(formula: str):
     """Positions of the shardable bra-bond axes: (L axis, R axis, their
     positions in the output subscript)."""

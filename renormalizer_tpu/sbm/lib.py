@@ -4,6 +4,11 @@ model.
 Reference ``renormalizer/sbm/lib.py:18-217``: Debye, Ohmic (with exponent s)
 and Cole-Davidson spectral densities, with Wang's 1st-scheme and trapezoid
 discretizations and adiabatic renormalization of the tunneling splitting.
+
+NOTICE: this module is deliberately a structural port of the reference
+driver for API parity — it is thin host-side orchestration; all device
+work happens in the engine layers (mps/, ops/, lib/), which are
+TPU-first redesigns.
 """
 
 import logging

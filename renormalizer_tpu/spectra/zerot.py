@@ -3,6 +3,11 @@ r"""Zero-temperature absorption/emission spectra via TD-DMRG.
 DMRG ground state -> dipole MPO applied -> real-time propagation of the ket
 (one-way) or alternating ket(+dt)/bra(-dt) (two-way, halving the effective
 evolution error).  Reference ``renormalizer/spectra/zerot.py:16-116``.
+
+NOTICE: this module is deliberately a structural port of the reference
+driver for API parity — it is thin host-side orchestration; all device
+work happens in the engine layers (mps/, ops/, lib/), which are
+TPU-first redesigns.
 """
 
 import logging

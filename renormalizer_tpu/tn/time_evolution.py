@@ -4,6 +4,11 @@ Reference ``renormalizer/tn/time_evolution.py:22-298``: TDVP-VMF (one global
 adaptive RK45 with regularized inverses), P&C-RK4, TDVP-PS (iterative
 stack-based forward/backward sweeps) and TDVP-PS2 (recursive 2-site).
 Registered in ``tn.tree.EVOLVE_METHODS``.
+
+NOTICE: this module is deliberately a structural port of the reference
+driver for API parity — it is thin host-side orchestration; all device
+work happens in the engine layers (mps/, ops/, lib/), which are
+TPU-first redesigns.
 """
 
 import logging

@@ -427,7 +427,7 @@ class TTNS(TTNBase):
         assert node.parent
         qnbigl, qnbigr, _ = self.get_qnmat(node, include_parent=False)
         tensor = node.tensor.reshape(-1, node.shape[-1])
-        if trunc_device.linalg_enabled():
+        if trunc_device.linalg_enabled(tensor):
             u, qnlnew, v, qnrnew = trunc_device.qr_qn_device(
                 tensor, qnbigl, qnbigr, self.qntot, "L"
             )
@@ -459,7 +459,7 @@ class TTNS(TTNBase):
     def decompose_to_child(self, node: TreeNodeTensor, ichild: int):
         """QR toward a child (reference ``tree.py:666-703``)."""
         qnbigl, qnbigr, tensor, shape = moveaxis(self, node, ichild)
-        if trunc_device.linalg_enabled():
+        if trunc_device.linalg_enabled(tensor):
             u, qnl, v, qnr = trunc_device.qr_qn_device(
                 tensor, qnbigl, qnbigr, self.qntot, "L"
             )
@@ -487,7 +487,7 @@ class TTNS(TTNBase):
         Returns the untruncated singular values."""
         qnbigl, qnbigr, tensor, shape = moveaxis(self, node, ichild)
         res = None
-        if trunc_device.linalg_enabled():
+        if trunc_device.linalg_enabled(tensor):
             res = trunc_device.compress_factors(
                 tensor, qnbigl, qnbigr, self.qntot, "L"
             )
@@ -881,7 +881,7 @@ class TTNS(TTNBase):
 
         from renormalizer_tpu.utils.configs import CompressCriteria as _CC
 
-        use_dev = trunc_device.linalg_enabled() and (
+        use_dev = trunc_device.linalg_enabled(tensor) and (
             m is not None or self.compress_config.criteria is _CC.fixed
         )
         if use_dev:

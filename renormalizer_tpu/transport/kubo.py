@@ -7,6 +7,11 @@ The current operator is derived automatically from the Hamiltonian terms
 (Holstein part and phonon-assisted Peierls part); the thermal density matrix
 is split as e^{-beta H/2} ... e^{-beta H/2} and two branches are evolved in
 real time.  Reference ``renormalizer/transport/kubo.py:18-365``.
+
+NOTICE: this module is deliberately a structural port of the reference
+driver for API parity — it is thin host-side orchestration; all device
+work happens in the engine layers (mps/, ops/, lib/), which are
+TPU-first redesigns.
 """
 
 import logging

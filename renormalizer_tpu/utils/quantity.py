@@ -1,6 +1,16 @@
 """Unit-carrying scalar.
 
 API-compatible with the reference's ``renormalizer/utils/quantity.py:35-103``.
+
+Examples
+--------
+>>> from renormalizer_tpu.utils import Quantity
+>>> round(Quantity(1, "eV").as_au(), 8)
+0.03674932
+>>> Quantity(2, "eV").as_unit("meV").value
+2000.0
+>>> (Quantity(1, "eV") + Quantity(1, "eV")) == Quantity(2, "eV")
+True
 """
 
 import math

@@ -4,6 +4,11 @@ MPS-agnostic driver loop (reference ``renormalizer/utils/tdmps.py:19-223``):
 ``init_mps`` -> loop(``evolve_single_step`` -> ``process_mps`` -> atomic npz
 dump with ``.bak`` swap) with flexible (dt, nsteps, total-time) argument
 logic and optional MPS snapshot dumping.
+
+NOTICE: this module is deliberately a structural port of the reference
+driver for API parity — it is thin host-side orchestration; all device
+work happens in the engine layers (mps/, ops/, lib/), which are
+TPU-first redesigns.
 """
 
 import logging

@@ -1,6 +1,11 @@
 r"""Vibrational self-consistent field as a bond-dimension-1 DMRG-like sweep.
 
 Reference ``renormalizer/vibration/vscf.py:15-126``.
+
+NOTICE: this module is deliberately a structural port of the reference
+driver for API parity — it is thin host-side orchestration; all device
+work happens in the engine layers (mps/, ops/, lib/), which are
+TPU-first redesigns.
 """
 
 import logging

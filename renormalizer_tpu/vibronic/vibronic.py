@@ -4,6 +4,11 @@ Collects autocorrelation <psi*|psi>, electronic occupations, energies and
 electron-DoF RDMs.  Real initial states use the t/2 trick so the
 autocorrelation is sampled at 2t.  Reference
 ``renormalizer/vibronic/vibronic.py:11-123``.
+
+NOTICE: this module is deliberately a structural port of the reference
+driver for API parity — it is thin host-side orchestration; all device
+work happens in the engine layers (mps/, ops/, lib/), which are
+TPU-first redesigns.
 """
 
 import logging

@@ -56,5 +56,6 @@ def _clear_jax_caches_between_modules():
     _clear("renormalizer_tpu.ops.contract", "_einsum_jit")
     _clear("renormalizer_tpu.ops.jacobi", "_jacobi_factory")
     _clear("renormalizer_tpu.lib.solvers", "_davidson_factory", "_expm_factory")
+    _clear("renormalizer_tpu.lib.split_complex", "_expm_split_factory")
     jax.clear_caches()
     gc.collect()

@@ -130,3 +130,48 @@ def test_ttns_with_global_mesh(mesh22):
     e_exact = np.linalg.eigvalsh(dense_hamiltonian(model))[0]
     assert abs(e_mesh - e_single) < 1e-9
     assert abs(e_mesh - e_exact) < 1e-7
+
+
+def test_sector_parallel_candidates_bit_identical(mesh22, monkeypatch):
+    """Per-sector truncation kernels placed round-robin over the mesh
+    (SURVEY §2.6 axis (a)) return bit-identical candidates/spectra to the
+    single-device dispatch chain."""
+    monkeypatch.setenv("RENO_DEVICE_TRUNC", "1")
+    from renormalizer_tpu.mps import trunc_device
+
+    rng = np.random.default_rng(11)
+    # multi-sector qn structure: 3 sectors on each side
+    qnl = np.repeat(np.array([[0], [1], [2]]), [20, 30, 14], axis=0)
+    qnr = np.repeat(np.array([[2], [1], [0]]), [16, 28, 20], axis=0)
+    c = rng.standard_normal((len(qnl), len(qnr)))
+    # zero out cross-sector blocks so c is qn-conserving (qntot = 2)
+    mask = (qnl[:, None, 0] + qnr[None, :, 0]) == 2
+    c = c * mask
+
+    def run(flag):
+        monkeypatch.setenv("RENO_SECTOR_PARALLEL", flag)
+        trunc_device._IDX_CACHE.clear()
+        parts, sigma, qn_list = trunc_device.candidates(
+            c, qnl, qnr, np.array([2]), "L", 32, want_complement=False
+        )
+        return [np.asarray(p) for p in parts], sigma, qn_list
+
+    parts0, sigma0, qn0 = run("0")
+    parts1, sigma1, qn1 = run("1")
+    assert qn0 == qn1
+    assert np.array_equal(sigma0, sigma1)
+    for a, b in zip(parts0, parts1):
+        assert np.array_equal(a, b)
+
+
+def test_sector_parallel_dmrg_regression(mesh22, monkeypatch):
+    """Full DMRG with device truncation sector-parallel over the mesh."""
+    monkeypatch.setenv("RENO_DEVICE_TRUNC", "1")
+    monkeypatch.setenv("RENO_SECTOR_PARALLEL", "1")
+    from fixtures import holstein_model, GS_E
+
+    mpo = Mpo(holstein_model)
+    mps = Mps.random(holstein_model, 1, 10, percent=1.0)
+    mps.optimize_config.procedure = [[10, 0.4], [20, 0.2], [30, 0.1], [40, 0]]
+    energies, _ = optimize_mps(mps.copy(), mpo)
+    assert min(energies) == pytest.approx(GS_E, rel=1e-5)

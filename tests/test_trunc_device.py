@@ -211,3 +211,38 @@ def test_candidates_multi_component_qn():
     u, s, _, v, _, _ = res
     rec = (np.asarray(u) * s) @ np.asarray(v).T
     assert np.abs(rec - c).max() < 1e-10
+
+
+def test_async_trunc_qn_drift_stress(monkeypatch):
+    """VERDICT r2 item 6: async-plan contract under qn-pattern drift at
+    M=128.  Growth sweeps (percent>0) jump straight into percent=0 sweeps on
+    a multi-sector model, so the per-bond qn pattern keeps shifting while
+    the zero-sync plan reuse is active; every shift must be detected by the
+    pattern hash (falling back to one synchronous fetch) and the final
+    energy must match the fully synchronous selection path."""
+    from fixtures import holstein_model, GS_E
+    from renormalizer_tpu.mps import Mps, Mpo
+    from renormalizer_tpu.mps.gs import optimize_mps
+
+    mpo = Mpo(holstein_model)
+    seed_mps = Mps.random(holstein_model, 1, 32, percent=1.0)
+    # growth into percent=0 at M=128: the qn split drifts between the first
+    # percent=0 sweeps (bond dims still reshuffling across sectors)
+    procedure = [[32, 0.5], [64, 0.3], [128, 0]] + [[128, 0]] * 3
+
+    def run(async_flag):
+        monkeypatch.setenv("RENO_DEVICE_TRUNC", "1")
+        monkeypatch.setenv("RENO_ASYNC_TRUNC", async_flag)
+        mps = seed_mps.copy()
+        mps.optimize_config.procedure = procedure
+        mps.optimize_config.method = "2site"
+        energies, opt = optimize_mps(mps, mpo)
+        return np.asarray(energies), opt
+
+    e_sync, opt_sync = run("0")
+    e_async, opt_async = run("1")
+    # identical selection decisions => identical sweep-by-sweep energies
+    assert min(e_async) == pytest.approx(GS_E, rel=1e-5)
+    assert min(e_async) == pytest.approx(min(e_sync), rel=1e-9, abs=1e-10)
+    # the async path must land on the same bond dimensions
+    assert [m.shape for m in opt_async] == [m.shape for m in opt_sync]
