@@ -204,10 +204,47 @@ def _orth(z):
     return jnp.linalg.qr(z, mode="reduced")[0]
 
 
+def _orth_cholqr(z):
+    """Shifted CholeskyQR3 orthogonalization (Fukaya et al. 2020): one
+    shifted pass + two plain passes, built ONLY from syrk/cholesky/trsm —
+    every step blocked matmuls on the MXU, no Householder QR.  The shift
+    makes the first Cholesky safe for ill-conditioned sketches; a final
+    in-kernel orthogonality check falls back to Householder QR (lax.cond,
+    so the slow branch only ever *executes* on pathological inputs —
+    spectra graded beyond ~1/sqrt(eps), where plain Cholesky passes break
+    down).  Columns in the (numerical) null space come out
+    orthonormal-but-arbitrary exactly like Householder QR's, with
+    Rayleigh-Ritz weight ~0, so downstream selection is unchanged."""
+    import jax
+    import jax.numpy as jnp
+
+    eps = jnp.finfo(z.real.dtype).eps
+    l = z.shape[1]
+    eye = jnp.eye(l, dtype=z.dtype)
+
+    def one_pass(q, shift):
+        g = q.conj().T @ q
+        tr = jnp.trace(g).real
+        gs = g + (shift * tr + eps * eps) * eye
+        L = jnp.linalg.cholesky(gs)
+        return jax.lax.linalg.triangular_solve(
+            L, q, left_side=False, lower=True, transpose_a=True,
+            conjugate_a=True,
+        )
+
+    q = one_pass(z, 11.0 * eps)
+    q = one_pass(q, 0.0)
+    q = one_pass(q, 0.0)
+    err = jnp.linalg.norm(q.conj().T @ q - eye)
+    bad = jnp.isnan(err) | (err > 100.0 * eps * l)
+    return jax.lax.cond(bad, lambda: jnp.linalg.qr(z, mode="reduced")[0],
+                        lambda: q)
+
+
 @lru_cache(maxsize=512)
 def _sector_factory(m: int, n: int, ml: int, nr: int, l1: int, l2: int,
                     transpose: bool, dtype_name: str, want_v: bool = False,
-                    eigh_impl: str = "xla"):
+                    eigh_impl: str = "xla", orth_impl: str = "qr"):
     """Jitted per-sector candidate kernel.
 
     Takes the full (m, n) coefficient matrix plus the sector's row/column
@@ -220,6 +257,7 @@ def _sector_factory(m: int, n: int, ml: int, nr: int, l1: int, l2: int,
     import jax
     import jax.numpy as jnp
 
+    orth = _orth_cholqr if orth_impl == "cholqr" else _orth
     rows_out = n if transpose else m
     rows_v = m if transpose else n
     l_total = l1 + l2
@@ -235,12 +273,12 @@ def _sector_factory(m: int, n: int, ml: int, nr: int, l1: int, l2: int,
         ra, rb = a.shape
         k1, k2 = jax.random.split(key)
         omega = jax.random.normal(k1, (rb, l1), dtype=jnp.float32).astype(a.dtype)
-        y = _orth(a @ omega)
+        y = orth(a @ omega)
         y = a @ (a.conj().T @ y)
         if l2 > 0:
             extra = jax.random.normal(k2, (ra, l2), dtype=jnp.float32).astype(a.dtype)
             y = jnp.concatenate([y, extra], axis=1)
-        q = _orth(y)
+        q = orth(y)
         b = q.conj().T @ a  # (l, rb)
         g = b @ b.conj().T
         if eigh_impl == "jacobi":
@@ -311,6 +349,15 @@ def async_enabled() -> bool:
     import jax
 
     return jax.default_backend() != "cpu"
+
+
+def _orth_impl() -> str:
+    """Orthogonalization kernel for the randomized range finder:
+    ``RENO_TRUNC_ORTH=cholqr`` uses shifted CholeskyQR3 (pure matmul/chol/
+    trsm — much faster than Householder QR on TPU), anything else XLA QR."""
+    import os
+
+    return os.environ.get("RENO_TRUNC_ORTH", "qr")
 
 
 def sector_parallel_enabled() -> bool:
@@ -391,7 +438,7 @@ def candidates(coef_array, qnbigl, qnbigr, qntot, system: str, cap: int,
             if pallas_eigh_enabled():
                 eigh_impl = "jacobi"
         run = _sector_factory(m, n, ml, nr, l1, l2, transpose, str(cmat.dtype),
-                              want_v, eigh_impl)
+                              want_v, eigh_impl, _orth_impl())
         dev = None
         cmat_s, key_s = cmat, key_base
         if sector_devs is not None:

@@ -45,9 +45,13 @@ def _jacobi_factory(n: int, sweeps: int, interpret: bool):
     from jax.experimental.pallas import tpu as pltpu
 
     m = n // 2
-    total_rounds = sweeps * (n - 1)
+    # convergence: at least ``sweeps`` full cycles (the tournament ordering
+    # returns to identity after each n-1 rounds), then keep sweeping while
+    # the off-diagonal Frobenius norm is above the dtype floor, bounded by
+    # +16 extra sweeps.  No host syncs: the check runs inside the kernel.
+    max_sweeps = sweeps + 16
 
-    def kernel(a_ref, w_ref, v_ref, a_s, v_s):
+    def kernel(a_ref, w_ref, v_ref, resid_ref, a_s, v_s):
         a_s[:] = a_ref[:]
         v_s[:] = jnp.eye(n, dtype=a_ref.dtype)
 
@@ -106,10 +110,30 @@ def _jacobi_factory(n: int, sweeps: int, interpret: bool):
             v_s[:] = permute_cols(v)
             return 0
 
-        jax.lax.fori_loop(0, total_rounds, round_body, 0)
+        eye_n = jnp.eye(n, dtype=a_ref.dtype)
+        off0 = jnp.sum((a_ref[:] * (1 - eye_n)) ** 2)
+        diag0 = jnp.sum((a_ref[:] * eye_n) ** 2)
+        tol2 = (jnp.finfo(a_ref.dtype).eps ** 2) * (off0 + diag0)
+
+        def sweep_body(carry):
+            isweep, _ = carry
+            jax.lax.fori_loop(0, n - 1, round_body, 0)
+            a = a_s[:]
+            off = jnp.sum((a * (1 - eye_n)) ** 2)
+            return isweep + 1, off
+
+        def sweep_cond(carry):
+            isweep, off = carry
+            return (isweep < sweeps) | ((off > tol2) & (isweep < max_sweeps))
+
+        _, off_final = jax.lax.while_loop(
+            sweep_cond, sweep_body, (0, off0 + jnp.asarray(1.0, a_ref.dtype))
+        )
         a = a_s[:]
-        w_ref[:] = jnp.sum(a * jnp.eye(n, dtype=a.dtype), axis=1)
+        w_ref[:] = jnp.sum(a * eye_n, axis=1)
         v_ref[:] = v_s[:]
+        # relative off-diagonal residual: callers can assert convergence
+        resid_ref[:] = jnp.sqrt(off_final / (off0 + diag0 + tol2))[None]
 
     @jax.jit
     def run(a):
@@ -119,9 +143,11 @@ def _jacobi_factory(n: int, sweeps: int, interpret: bool):
             out_shape=(
                 jax.ShapeDtypeStruct((n,), dtype),
                 jax.ShapeDtypeStruct((n, n), dtype),
+                jax.ShapeDtypeStruct((1,), dtype),
             ),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=(
+                pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ),
@@ -135,12 +161,17 @@ def _jacobi_factory(n: int, sweeps: int, interpret: bool):
     return run
 
 
-def jacobi_eigh(a, sweeps: int = None):
+def jacobi_eigh(a, sweeps: int = None, return_resid: bool = False):
     """Eigendecomposition of a real symmetric matrix via the Pallas parallel
     Jacobi kernel; ascending eigenvalue order (like ``jnp.linalg.eigh``).
 
     Pads to an even lane-friendly size; zero padding is exact (identity
-    rotations, eigenvalue 0) and is stripped before returning."""
+    rotations, eigenvalue 0) and is stripped before returning.  The kernel
+    keeps sweeping (up to +16 extra cycles) until the off-diagonal Frobenius
+    norm reaches the dtype floor; with ``return_resid`` the relative
+    off-diagonal residual is returned too, so callers/tests can detect the
+    pathological non-converged case instead of silently consuming
+    less-converged eigenvectors."""
     import jax
     import jax.numpy as jnp
 
@@ -150,14 +181,17 @@ def jacobi_eigh(a, sweeps: int = None):
     n = max(_round_up(n0, 16), 16)
     if sweeps is None:
         sweeps = 10 if jnp.finfo(a.dtype).bits == 32 else 14
-    interpret = jax.default_backend() != "tpu"
+    # interpret off-TPU; the axon relay platform compiles pallas remotely
+    interpret = jax.default_backend() not in ("tpu", "axon")
     if n != n0:
         a = jnp.pad(a, ((0, n - n0), (0, n - n0)))
     run = _jacobi_factory(int(n), int(sweeps), bool(interpret))
-    w, v = run(a)
+    w, v, resid = run(a)
     # restrict to the real block; padding rows/cols never mix (identity
     # rotations), so the top-left block of v is the true eigenbasis
     w_real = w[:n0]
     v_real = v[:n0, :n0]
     order = jnp.argsort(w_real)
+    if return_resid:
+        return w_real[order], v_real[:, order], resid[0]
     return w_real[order], v_real[:, order]

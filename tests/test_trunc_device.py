@@ -246,3 +246,58 @@ def test_async_trunc_qn_drift_stress(monkeypatch):
     assert min(e_async) == pytest.approx(min(e_sync), rel=1e-9, abs=1e-10)
     # the async path must land on the same bond dimensions
     assert [m.shape for m in opt_async] == [m.shape for m in opt_sync]
+
+
+def test_pallas_jacobi_eigh_convergence_monitor():
+    """The kernel keeps sweeping past the base count until the off-diagonal
+    norm hits the dtype floor, and reports the relative residual."""
+    from renormalizer_tpu.ops.jacobi import jacobi_eigh
+
+    rng = np.random.default_rng(5)
+    # pathological: tight eigenvalue clusters over 12 decades
+    lam_true = np.repeat(10.0 ** np.arange(-6, 6), 8)
+    q, _ = np.linalg.qr(rng.standard_normal((96, 96)))
+    a = (q * lam_true) @ q.T
+    a = (a + a.T) / 2
+    # force a low base sweep count: the while-loop must extend it
+    w, v, resid = jacobi_eigh(a, sweeps=2, return_resid=True)
+    assert float(resid) < 1e-7
+    np.testing.assert_allclose(np.asarray(w), np.sort(lam_true), rtol=1e-8,
+                               atol=1e-10)
+    vv = np.asarray(v)
+    assert np.abs(vv.T @ vv - np.eye(96)).max() < 1e-10
+
+
+@pytest.mark.parametrize("system", ["L", "R"])
+def test_candidates_cholqr_orth_matches_host_svd(system, monkeypatch):
+    """The matmul-only shifted-CholeskyQR3 orthogonalization kernel
+    (RENO_TRUNC_ORTH=cholqr) reproduces the host LAPACK truncation,
+    including an ill-conditioned spectrum (12 decades)."""
+    monkeypatch.setenv("RENO_TRUNC_ORTH", "cholqr")
+    trunc_device._sector_factory.cache_clear()
+    rng = np.random.default_rng(2)
+    m, n, cap = 90, 110, 40
+    c, qnl, qnr = _blocked_matrix(rng, m, n, np.array([1]))
+    # grade the spectrum harshly (12 decades) by row scaling — preserves the
+    # qn-block structure while making every sector ill-conditioned
+    c = c * (10.0 ** -np.linspace(0, 12, m))[:, None]
+    parts, sigma, qn_list = trunc_device.candidates(
+        c, qnl, qnr, np.array([1]), system, cap, want_complement=False
+    )
+    _, su, _, _, _, _ = svd_qn(
+        c, qnl, qnr, np.array([1]), system=system, full_matrices=False
+    )
+    s_ref = np.sort(su)[::-1]
+    s_dev = np.sort(sigma)[::-1]
+    k = min(cap, len(s_ref))
+    np.testing.assert_allclose(s_dev[:k], s_ref[:k], rtol=1e-6,
+                               atol=1e-10 * s_ref[0])
+    sidx = select_indices(sigma, qn_list, cap, 0)
+    ms, comp = trunc_device.apply_selection(c, parts, sidx, m, n, system)
+    ms = np.asarray(ms)
+    assert np.abs(ms.conj().T @ ms - np.eye(ms.shape[1])).max() < 1e-9
+    recon = ms @ np.asarray(comp) if system == "L" else np.asarray(comp) @ ms.T
+    resid = np.linalg.norm(c - recon)
+    resid_opt = np.sqrt(max(np.sum(s_ref**2) - np.sum(s_ref[:k] ** 2), 0))
+    assert resid < resid_opt * 1.001 + 1e-12 * s_ref[0]
+    trunc_device._sector_factory.cache_clear()
