@@ -229,7 +229,13 @@ def _realize_energies(micro, nroots):
     During the sweep energies stay as device scalars so the only blocking
     transfer per site update is the candidate-spectrum fetch in truncation."""
     if nroots == 1:
-        vals = np.asarray(jnp.stack([jnp.asarray(e) for e, _ in micro]))
+        from renormalizer_tpu.ops.contract import _harmonize_devices
+
+        # edge-site energies live on one device, interior (sharded-Davidson)
+        # ones replicated over the mesh: co-locate before the fused stack
+        vals = np.asarray(jnp.stack(
+            _harmonize_devices([jnp.asarray(e) for e, _ in micro])
+        ))
         return [(float(v), c) for v, (_, c) in zip(vals, micro)]
     out = []
     for e, c in micro:

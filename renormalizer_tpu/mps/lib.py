@@ -141,8 +141,10 @@ def select_indices(sset, qnlist, Mmax, percent=0) -> List[int]:
     (the index-selection half of :func:`select_basis`)."""
     sset = np.asarray(sset)
     qnlist = [tuple(qn) for qn in qnlist]
-    qnset = set(qnlist)
-    available = {i: (qnlist[i], sset[i]) for i in range(len(qnlist))}
+    # bucketed device kernels mark pad slots with sigma = -1: unselectable
+    available = {i: (qnlist[i], sset[i]) for i in range(len(qnlist))
+                 if sset[i] >= 0}
+    qnset = {qnlist[i] for i in available}
 
     def take_from_block(qn, n):
         block = [(i, s) for i, (q, s) in available.items() if q == qn]

@@ -670,9 +670,9 @@ class MatrixProduct:
             plan = self._trunc_plans.get(plan_key)
             if plan is not None and plan[0] == pattern:
                 # previous visit's spectrum: already copied to the host
-                sigma = np.sqrt(np.maximum(np.asarray(plan[1]), 0))
+                sigma = trunc_device.lam_to_sigma(plan[1])
             else:
-                sigma = np.sqrt(np.maximum(np.asarray(lam), 0))  # sync once
+                sigma = trunc_device.lam_to_sigma(lam)  # sync once
             try:
                 lam.copy_to_host_async()
             except Exception:
@@ -680,7 +680,10 @@ class MatrixProduct:
             self._trunc_plans[plan_key] = (pattern, lam)
         else:
             sigma = lam
-        m_trunc = self.compress_config.compute_m_trunc(sigma, bond_idx, self.to_right)
+        # bucketed kernels mark pad candidate slots with sigma = -1; they
+        # must count toward neither the bond-dimension target nor selection
+        m_trunc = self.compress_config.compute_m_trunc(
+            sigma[sigma >= 0], bond_idx, self.to_right)
         sidx = select_indices(sigma, qn_list, m_trunc, percent)
         msdim = len(sidx)
         msqn = np.array([qn_list[i] for i in sidx])

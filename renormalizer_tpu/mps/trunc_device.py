@@ -106,9 +106,11 @@ def compress_factors(coef_array, qnbigl, qnbigr, qntot, system: str,
     sigma = sigma[order]
     if cap < rank and len(sigma) and sigma[-1] > 1e-10 * sigma[0]:
         return None  # sketch may have missed live states: host fallback
+    from renormalizer_tpu.ops.contract import _harmonize_devices
+
     sel = jnp.asarray(np.asarray(order, dtype=np.int32))
     run = _gather_pair_factory(len(parts))
-    a_side, b_side = run(sel, *parts, *parts_v)
+    a_side, b_side = run(*_harmonize_devices([sel, *parts, *parts_v]))
     if system == "L":
         # kernel: C = a_side diag(sigma) b_side^H; host convention v = conj(V)
         u = a_side
@@ -239,6 +241,80 @@ def _orth_cholqr(z):
     bad = jnp.isnan(err) | (err > 100.0 * eps * l)
     return jax.lax.cond(bad, lambda: jnp.linalg.qr(z, mode="reduced")[0],
                         lambda: q)
+
+
+def bucket_quant() -> int:
+    """Shape-bucket quantum for the per-sector candidate kernels
+    (``RENO_TRUNC_BUCKET``, default 64; ``1`` disables bucketing).
+
+    Sector dimensions drift between sweeps, and every exact (ml, nr, l1)
+    combination is its own XLA executable: the round-3 hardware profile
+    measured ~41 recompiles = ~10 s *per steady-state sweep* from this
+    drift (compiles over the tunnel cost 0.5-1.5 s each).  Padding each
+    sector to multiples of the quantum collapses the executable count and
+    absorbs the drift; the pad rows/columns are exact zeros (masked gather,
+    scatter-add) so the candidates are unchanged."""
+    import os
+
+    return int(os.environ.get("RENO_TRUNC_BUCKET", "64"))
+
+
+def lam_to_sigma(lam) -> np.ndarray:
+    """Candidate spectrum (host): sqrt of the projected eigenvalues, with
+    the bucketed kernels' pad slots (marked ``lam < 0``) kept at -1 so
+    selection can never retain them."""
+    lam = np.asarray(lam)
+    return np.where(lam < 0, -1.0, np.sqrt(np.maximum(lam, 0.0)))
+
+
+@lru_cache(maxsize=512)
+def _sector_factory_bucketed(m: int, n: int, mlp: int, nrp: int, l1p: int,
+                             transpose: bool, dtype_name: str,
+                             eigh_impl: str = "xla", orth_impl: str = "qr"):
+    """Bucketed twin of :func:`_sector_factory` (no complement, no right
+    factor): the sector block is gathered with PADDED index arrays and
+    masked to exact zeros, so one executable serves every sector whose
+    (ml, nr) rounds up to (mlp, nrp).  Pad candidate slots (>= the real
+    sketch width ``l1_real``, passed as a traced scalar) and any column
+    whose in-sector mass was lost to masking report ``lam = -1``."""
+    import jax
+    import jax.numpy as jnp
+
+    orth = _orth_cholqr if orth_impl == "cholqr" else _orth
+    rows_out = n if transpose else m
+
+    @jax.jit
+    def run(cmat, gr, gc, mask_r, mask_c, l1_real, key):
+        block = cmat[gr][:, gc] * (mask_r[:, None] * mask_c[None, :])
+        a = block.T if transpose else block           # (rap, rbp)
+        mask_a = mask_c if transpose else mask_r      # rows of a
+        scatter_idx = gc if transpose else gr
+        rbp = a.shape[1]
+        omega = jax.random.normal(key, (rbp, l1p), dtype=jnp.float32).astype(a.dtype)
+        y = orth(a @ omega)
+        y = a @ (a.conj().T @ y)
+        q = orth(y)
+        b = q.conj().T @ a
+        g = b @ b.conj().T
+        if eigh_impl == "jacobi":
+            from renormalizer_tpu.ops.jacobi import jacobi_eigh
+
+            lam, w = jacobi_eigh(g)
+        else:
+            lam, w = jnp.linalg.eigh(g)
+        lam = jnp.nan_to_num(jnp.maximum(lam[::-1], 0))
+        u = q @ w[:, ::-1]
+        vals = u * mask_a[:, None].astype(u.dtype)
+        # a valid candidate keeps (almost) all its mass on real rows; a
+        # Householder-QR junk column (rank-deficient sector) can leak onto
+        # pad rows and lose norm when masked — mark it unselectable
+        colmass = jnp.sum(jnp.abs(vals) ** 2, axis=0).real
+        slot_ok = (jnp.arange(l1p) < l1_real) & (colmass > 0.5)
+        lam = jnp.where(slot_ok, lam, -1.0)
+        out = jnp.zeros((rows_out, l1p), dtype=cmat.dtype).at[scatter_idx].add(vals)
+        return out, lam
+
+    return run
 
 
 @lru_cache(maxsize=512)
@@ -414,10 +490,20 @@ def candidates(coef_array, qnbigl, qnbigr, qntot, system: str, cap: int,
             devs = list(np.asarray(mesh.devices).flat)
             if len(devs) > 1:
                 sector_devs = devs
-    home_dev = None
+    home = None
     cmat_by_dev = {}
     if sector_devs is not None:
-        home_dev = next(iter(cmat.devices()))
+        # results must land back wherever cmat lives: a single device, or —
+        # when the caller runs under the mesh (sharded Davidson output) —
+        # replicated over the mesh via cmat's own sharding
+        cmat_devs = list(cmat.devices())
+        home = cmat.sharding if len(cmat_devs) > 1 else cmat_devs[0]
+
+    bq = bucket_quant()
+    use_bucket = (not want_v) and (not want_complement) and bq > 1
+    rdtype = np.dtype(str(cmat.dtype))
+    mask_dtype = np.float64 if rdtype in (np.dtype(np.float64),
+                                          np.dtype(np.complex128)) else np.float32
 
     parts = []
     parts_v = []
@@ -432,13 +518,11 @@ def candidates(coef_array, qnbigl, qnbigr, qntot, system: str, cap: int,
         if l1 + l2 == 0:
             continue
         eigh_impl = "xla"
-        if not np.issubdtype(np.dtype(str(cmat.dtype)), np.complexfloating):
+        if not np.issubdtype(rdtype, np.complexfloating):
             from renormalizer_tpu.ops.jacobi import pallas_eigh_enabled
 
             if pallas_eigh_enabled():
                 eigh_impl = "jacobi"
-        run = _sector_factory(m, n, ml, nr, l1, l2, transpose, str(cmat.dtype),
-                              want_v, eigh_impl, _orth_impl())
         dev = None
         cmat_s, key_s = cmat, key_base
         if sector_devs is not None:
@@ -448,17 +532,40 @@ def candidates(coef_array, qnbigl, qnbigr, qntot, system: str, cap: int,
                 cmat_s = jax.device_put(cmat, dev)
                 cmat_by_dev[dev] = cmat_s
             key_s = jax.device_put(key_base, dev)
-        out = run(cmat_s, _device_idx(lset.astype(np.int32), dev),
-                  _device_idx(rset.astype(np.int32), dev), key_s)
+        if use_bucket:
+            mlp = min(-(-ml // bq) * bq, m)
+            nrp = min(-(-nr // bq) * bq, n)
+            l1p = min(min(mlp, nrp), cap + OVERSAMPLE)
+            gr = np.zeros(mlp, dtype=np.int32)
+            gr[:ml] = lset
+            gc = np.zeros(nrp, dtype=np.int32)
+            gc[:nr] = rset
+            mask_r = np.zeros(mlp, dtype=mask_dtype)
+            mask_r[:ml] = 1
+            mask_c = np.zeros(nrp, dtype=mask_dtype)
+            mask_c[:nr] = 1
+            run = _sector_factory_bucketed(m, n, mlp, nrp, l1p, transpose,
+                                           str(cmat.dtype), eigh_impl,
+                                           _orth_impl())
+            out = run(cmat_s, _device_idx(gr, dev), _device_idx(gc, dev),
+                      _device_idx(mask_r, dev), _device_idx(mask_c, dev),
+                      _device_idx(np.int32(l1), dev), key_s)
+            l1 = l1p  # qn labels cover every (incl. pad) candidate slot
+        else:
+            run = _sector_factory(m, n, ml, nr, l1, l2, transpose,
+                                  str(cmat.dtype), want_v, eigh_impl,
+                                  _orth_impl())
+            out = run(cmat_s, _device_idx(lset.astype(np.int32), dev),
+                      _device_idx(rset.astype(np.int32), dev), key_s)
         if want_v:
             out, lam, out_v = out
         else:
             out, lam = out
-        if dev is not None and dev != home_dev:
-            out = jax.device_put(out, home_dev)
-            lam = jax.device_put(lam, home_dev)
+        if dev is not None and home is not None:
+            out = jax.device_put(out, home)
+            lam = jax.device_put(lam, home)
             if want_v:
-                out_v = jax.device_put(out_v, home_dev)
+                out_v = jax.device_put(out_v, home)
         if want_v:
             parts_v.append(out_v)
         parts.append(out)
@@ -471,7 +578,7 @@ def candidates(coef_array, qnbigl, qnbigr, qntot, system: str, cap: int,
         ret = (parts, lam_dev, qn_list)
         return ret + (parts_v,) if want_v else ret
     # ONE small synchronous fetch: all candidate spectra at once
-    sigma = np.sqrt(np.maximum(np.asarray(lam_dev), 0))
+    sigma = lam_to_sigma(lam_dev)
     ret = (parts, sigma, qn_list)
     return ret + (parts_v,) if want_v else ret
 
@@ -527,7 +634,10 @@ def apply_selection(coef_array, parts, sidx: np.ndarray, m: int, n: int,
     """
     import jax.numpy as jnp
 
+    from renormalizer_tpu.ops.contract import _harmonize_devices
+
     cmat = jnp.asarray(coef_array).reshape(m, n)
     run = _apply_factory(len(parts), system == "R")
     sel = jnp.asarray(np.asarray(sidx, dtype=np.int32))
-    return run(cmat, sel, *parts)
+    args = _harmonize_devices([cmat, sel, *parts])
+    return run(*args)

@@ -31,6 +31,29 @@ def _is_oom(exc: Exception) -> bool:
     return "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg
 
 
+def _harmonize_devices(arrays):
+    """Co-locate operands whose committed placements disagree (jit refuses
+    them).  Mixed placements arise when mesh-replicated results (sector-
+    parallel truncation under a sharded Davidson) meet single-device
+    tensors: everything moves to the widest placement (the mesh one)."""
+    metas = []
+    for a in arrays:
+        try:
+            metas.append((len(a.devices()), a.sharding))
+        except Exception:
+            metas.append((1, None))
+    if len({id_ for n, s in metas for id_ in ((n, str(s)),)}) <= 1:
+        return arrays
+    widest = max(range(len(arrays)), key=lambda i: metas[i][0])
+    n_widest, sh = metas[widest]
+    if sh is None:
+        return arrays
+    if all(n == n_widest and str(s) == str(sh) for n, s in metas):
+        return arrays
+    return [a if str(m[1]) == str(sh) else jax.device_put(a, sh)
+            for a, m in zip(arrays, metas)]
+
+
 def einsum(formula: str, *arrays):
     """Jit-cached einsum.  On HBM exhaustion, log the formula and operand
     shapes before re-raising (reference ``oe_contract_wrap.py:37-58``) —
@@ -45,6 +68,7 @@ def einsum(formula: str, *arrays):
     if any(jnp.issubdtype(a.dtype, jnp.complexfloating) for a in arrays):
         common = jnp.result_type(*[a.dtype for a in arrays])
         arrays = [a.astype(common) for a in arrays]
+    arrays = _harmonize_devices(arrays)
     try:
         return _einsum_jit(formula, len(arrays))(*arrays)
     except Exception as e:
@@ -281,7 +305,8 @@ def _tensordot1(a, b):
 
 def tensordot1(a, b):
     """a . b over one axis (the bond-merge workhorse)."""
-    return _tensordot1(jnp.asarray(a), jnp.asarray(b))
+    a, b = _harmonize_devices([jnp.asarray(a), jnp.asarray(b)])
+    return _tensordot1(a, b)
 
 
 def asnumpy(x):

@@ -918,9 +918,9 @@ class TTNS(TTNBase):
                 plan_key = (self.node_idx[node], bool(cano_parent))
                 plan = plans.get(plan_key)
                 if plan is not None and plan[0] == pattern:
-                    sigma = np.sqrt(np.maximum(np.asarray(plan[1]), 0))
+                    sigma = trunc_device.lam_to_sigma(plan[1])
                 else:
-                    sigma = np.sqrt(np.maximum(np.asarray(lam), 0))
+                    sigma = trunc_device.lam_to_sigma(lam)
                 try:
                     lam.copy_to_host_async()
                 except Exception:
