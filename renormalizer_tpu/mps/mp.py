@@ -690,6 +690,12 @@ class MatrixProduct:
         ms_mat, comp_mat = trunc_device.apply_selection(
             cstruct, parts, sidx, m, n, system
         )
+        if trunc_device.verify_level():
+            trunc_device.verify_update(
+                ms_mat, cstruct, sigma, sidx, m, n, system,
+                label=f"cidx={cidx} to_right={self.to_right} cap={cap}",
+                replay=(qnbigl, qnbigr, self.qntot, cap),
+            )
         if self.to_right:
             ms = ms_mat.reshape(list(qnbigl.shape[:-1]) + [msdim])
             compms = comp_mat.reshape([msdim] + list(qnbigr.shape[:-1]))

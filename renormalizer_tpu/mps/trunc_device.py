@@ -243,6 +243,25 @@ def _orth_cholqr(z):
                         lambda: q)
 
 
+def _colnormalize(y):
+    """Scale each column of ``y`` to (at most) unit norm before
+    orthogonalization.  Column scaling cannot change the computed range
+    basis, but it is load-bearing for correctness on TPU: the power
+    iteration ``Y = A (A^H Q1)`` scales columns by sigma^2, and XLA:TPU's
+    f32 Householder QR produces a catastrophically non-orthonormal Q
+    (column norms in the hundreds, measured orth error ~1e5) when fed
+    columns with norms near 1e-13.  At unit scale, rank-deficient columns
+    have f32-noise-level residuals (~1e-7 relative) which the QR handles
+    correctly, completing them with arbitrary orthonormal directions as
+    intended.  Columns that are exactly zero (bucketed pad slots) stay
+    zero."""
+    import jax.numpy as jnp
+
+    norms = jnp.linalg.norm(y, axis=0, keepdims=True)
+    tiny = jnp.finfo(y.real.dtype).tiny
+    return y / jnp.maximum(norms, tiny ** 0.5)
+
+
 def bucket_quant() -> int:
     """Shape-bucket quantum for the per-sector candidate kernels
     (``RENO_TRUNC_BUCKET``, default 64; ``1`` disables bucketing).
@@ -293,7 +312,7 @@ def _sector_factory_bucketed(m: int, n: int, mlp: int, nrp: int, l1p: int,
         omega = jax.random.normal(key, (rbp, l1p), dtype=jnp.float32).astype(a.dtype)
         y = orth(a @ omega)
         y = a @ (a.conj().T @ y)
-        q = orth(y)
+        q = orth(_colnormalize(y))
         b = q.conj().T @ a
         g = b @ b.conj().T
         if eigh_impl == "jacobi":
@@ -354,7 +373,7 @@ def _sector_factory(m: int, n: int, ml: int, nr: int, l1: int, l2: int,
         if l2 > 0:
             extra = jax.random.normal(k2, (ra, l2), dtype=jnp.float32).astype(a.dtype)
             y = jnp.concatenate([y, extra], axis=1)
-        q = orth(y)
+        q = orth(_colnormalize(y))
         b = q.conj().T @ a  # (l, rb)
         g = b @ b.conj().T
         if eigh_impl == "jacobi":
@@ -373,8 +392,10 @@ def _sector_factory(m: int, n: int, ml: int, nr: int, l1: int, l2: int,
         # right factor: A^H U = V diag(sigma) up to column phases.  QR makes
         # the zero-sigma columns proper orthonormal completions; the diagonal
         # phase of R restores the U<->V pairing (A ~ U diag(sigma) V^H).
-        t = a.conj().T @ u  # (rb, l)
-        qv, rv = jnp.linalg.qr(t, mode="reduced")
+        t = a.conj().T @ u  # (rb, l); columns scale with sigma — normalize
+        # for the same TPU f32 QR hazard (positive scaling cannot change
+        # the R-diagonal phases used for the U<->V pairing below)
+        qv, rv = jnp.linalg.qr(_colnormalize(t), mode="reduced")
         d = jnp.diagonal(rv)
         tiny = jnp.finfo(lam.dtype).tiny
         phase = jnp.where(jnp.abs(d) > tiny, d / jnp.maximum(jnp.abs(d), tiny), 1.0)
@@ -445,6 +466,62 @@ def sector_parallel_enabled() -> bool:
     import os
 
     return os.environ.get("RENO_SECTOR_PARALLEL", "") != "0"
+
+
+def verify_level() -> int:
+    """Debug self-check level for device truncation (``RENO_TRUNC_VERIFY``):
+    0 = off (default), 1 = orthonormality of the selected basis, 2 = also
+    compare the selected spectrum against host LAPACK SVD.  Each check
+    forces a device sync; for corruption hunts, not production."""
+    import os
+
+    return int(os.environ.get("RENO_TRUNC_VERIFY", "0"))
+
+
+_VERIFY_DUMPS = 0
+
+
+def verify_update(ms_mat, coef_array, sigma, sidx, m, n, system, label="",
+                  replay=None):
+    """RENO_TRUNC_VERIFY implementation: assert the renormalized basis is
+    orthonormal (the invariant whose violation makes DMRG energies dip
+    below the variational minimum) and optionally check the kept spectrum
+    against host LAPACK.  On failure, dump everything needed to replay the
+    site update offline and log loudly (the run continues)."""
+    global _VERIFY_DUMPS
+    import logging
+
+    log = logging.getLogger(__name__)
+    msh = np.asarray(ms_mat)
+    g = msh.conj().T @ msh
+    err = float(np.abs(g - np.eye(g.shape[1])).max())
+    tol = 1e-3 if msh.itemsize <= 8 and msh.real.dtype.itemsize == 4 else 1e-8
+    spec_err = 0.0
+    if verify_level() >= 2:
+        cm = np.asarray(coef_array).reshape(m, n)
+        s_exact = np.linalg.svd(cm, compute_uv=False)
+        kept = np.sort(np.asarray(sigma)[sidx])[::-1]
+        k = len(kept)
+        denom = max(s_exact[0], 1e-30)
+        spec_err = float(np.abs(kept - s_exact[:k]).max() / denom)
+    if err > tol or spec_err > 100 * tol:
+        _VERIFY_DUMPS += 1
+        path = f"/tmp/trunc_bad_{_VERIFY_DUMPS}.npz"
+        if _VERIFY_DUMPS <= 8:
+            extra = {}
+            if replay is not None:
+                qnbigl, qnbigr, qntot, cap = replay
+                extra = dict(qnbigl=np.asarray(qnbigl),
+                             qnbigr=np.asarray(qnbigr),
+                             qntot=np.asarray(qntot), cap=cap)
+            np.savez(path, coef=np.asarray(coef_array), ms=msh,
+                     sigma=np.asarray(sigma), sidx=np.asarray(sidx),
+                     m=m, n=n, system=system, label=str(label), **extra)
+        log.error(
+            "TRUNC VERIFY FAIL %s: orth_err=%.3e spec_err=%.3e dumped=%s",
+            label, err, spec_err, path)
+        return False
+    return True
 
 
 def candidates(coef_array, qnbigl, qnbigr, qntot, system: str, cap: int,
