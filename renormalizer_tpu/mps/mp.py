@@ -641,16 +641,21 @@ class MatrixProduct:
         n = int(np.prod(qnbigr.shape[:-1]))
         bond_idx = cidx[0] if self.to_right else cidx[-1]
         fixed = self.compress_config.criteria is _CC.fixed
+        sketched = False
         if fixed:
             cap = self.compress_config.compute_m_trunc(
                 np.full(min(m, n), np.inf), bond_idx, self.to_right
             )
         else:
-            # threshold criteria need the complete spectrum: use full-rank
-            # candidates (exact factorization) while that stays cheap
+            # threshold criteria need the top of the spectrum down to the
+            # threshold cut: full-rank (exact) candidates while cheap, a
+            # sketch with an exact-Frobenius-norm correction beyond that
+            # (validated below: every saturated sector must reach the cut,
+            # else host fallback)
             cap = min(m, n)
-            if cap > 2048:
-                return None  # host fallback
+            if cap > trunc_device.exact_cap():
+                cap = trunc_device.sketch_cap()
+                sketched = True
         use_async = fixed and percent == 0 and trunc_device.async_enabled()
         plan_key = (tuple(cidx), bool(self.to_right))
         pattern = None
@@ -682,8 +687,25 @@ class MatrixProduct:
             sigma = lam
         # bucketed kernels mark pad candidate slots with sigma = -1; they
         # must count toward neither the bond-dimension target nor selection
+        total_norm = None
+        if sketched:
+            # exact ||C||_F so the threshold criterion normalizes against
+            # the true spectrum norm, not the sketched top of it
+            total_norm = trunc_device.frob_norm(cstruct)
+            thr_abs = self.compress_config.threshold * total_norm
+            sat = trunc_device.OVERSAMPLE + cap
+            by_qn = {}
+            for q, s in zip(qn_list, np.asarray(sigma)):
+                if s >= 0:
+                    cnt, smin = by_qn.get(q, (0, np.inf))
+                    by_qn[q] = (cnt + 1, min(smin, s))
+            for cnt, smin in by_qn.values():
+                if cnt >= sat and smin > thr_abs:
+                    # a saturated sector's spectrum never reached the
+                    # threshold cut: the sketch may have missed kept states
+                    return None  # host fallback (exact spectrum)
         m_trunc = self.compress_config.compute_m_trunc(
-            sigma[sigma >= 0], bond_idx, self.to_right)
+            sigma[sigma >= 0], bond_idx, self.to_right, total_norm=total_norm)
         sidx = select_indices(sigma, qn_list, m_trunc, percent)
         msdim = len(sidx)
         msqn = np.array([qn_list[i] for i in sidx])

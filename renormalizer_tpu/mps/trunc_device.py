@@ -262,6 +262,50 @@ def _colnormalize(y):
     return y / jnp.maximum(norms, tiny ** 0.5)
 
 
+def exact_cap() -> int:
+    """Rank bound below which threshold-criteria truncations use exact
+    (full-rank) device candidates; above it they switch to a sketch of
+    width :func:`sketch_cap` with an exact-Frobenius-norm correction
+    (``RENO_TRUNC_EXACT_CAP``, default 2048 — the point where the exact
+    per-sector kernels start to dominate the update)."""
+    import os
+
+    return int(os.environ.get("RENO_TRUNC_EXACT_CAP", "2048"))
+
+
+def sketch_cap() -> int:
+    """Sketch width for threshold-criteria truncations beyond
+    :func:`exact_cap` (``RENO_TRUNC_SKETCH_CAP``, default 1024, matching
+    :func:`compress_factors`' sketch mode)."""
+    import os
+
+    return int(os.environ.get("RENO_TRUNC_SKETCH_CAP", "1024"))
+
+
+@lru_cache(maxsize=64)
+def _frob2_factory(shape: tuple, dtype_name: str):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(c):
+        return jnp.sum(jnp.abs(c) ** 2).real
+
+    return run
+
+
+def frob_norm(arr) -> float:
+    """Exact Frobenius norm of the (device) coefficient tensor — one scalar
+    fetch.  Used to normalize a sketched candidate spectrum exactly: the
+    sketch misses the tail of sigma, but ``||A||_F`` needs no
+    factorization at all."""
+    import jax.numpy as jnp
+
+    a = jnp.asarray(arr)
+    run = _frob2_factory(tuple(a.shape), str(a.dtype))
+    return float(np.sqrt(np.asarray(run(a))))
+
+
 def bucket_quant() -> int:
     """Shape-bucket quantum for the per-sector candidate kernels
     (``RENO_TRUNC_BUCKET``, default 64; ``1`` disables bucketing).

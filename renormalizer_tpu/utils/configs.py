@@ -111,8 +111,9 @@ class CompressConfig:
         if self.max_dims is None:
             self.max_dims = np.full(length, self.bond_dim_max_value, dtype=int)
 
-    def _threshold_m_trunc(self, sigma: np.ndarray) -> int:
-        normed = sigma / np.linalg.norm(sigma)
+    def _threshold_m_trunc(self, sigma: np.ndarray, total_norm=None) -> int:
+        normed = sigma / (np.linalg.norm(sigma) if total_norm is None
+                          else total_norm)
         return int(np.sum(normed > self.threshold))
 
     def _fixed_m_trunc(self, sigma: np.ndarray, idx: int, left: bool) -> int:
@@ -120,14 +121,21 @@ class CompressConfig:
         bond_idx = idx + 1 if left else idx
         return min(int(self.max_dims[bond_idx]), len(sigma))
 
-    def compute_m_trunc(self, sigma: np.ndarray, idx: int, left: bool) -> int:
+    def compute_m_trunc(self, sigma: np.ndarray, idx: int, left: bool,
+                        total_norm=None) -> int:
+        """Number of states to keep.  ``total_norm`` supplies the exact
+        Frobenius norm of the local coefficient when ``sigma`` is only the
+        top of the spectrum (a sketched device factorization) — the
+        threshold criterion then normalizes against the true norm instead
+        of the partial one."""
         if self.criteria is CompressCriteria.threshold:
-            return self._threshold_m_trunc(sigma)
+            return self._threshold_m_trunc(sigma, total_norm)
         if self.criteria is CompressCriteria.fixed:
             return self._fixed_m_trunc(sigma, idx, left)
         if self.criteria is CompressCriteria.both:
             return min(
-                self._threshold_m_trunc(sigma), self._fixed_m_trunc(sigma, idx, left)
+                self._threshold_m_trunc(sigma, total_norm),
+                self._fixed_m_trunc(sigma, idx, left),
             )
         raise AssertionError
 
