@@ -96,6 +96,10 @@ def bench_tpu():
         opt_e = min(micro)
         opt_e_idx = opt_e[1]
         energy = opt_e[0]
+        # progress heartbeat on stderr: keeps external stall watchdogs fed
+        # during the (otherwise silent) multi-minute sweep loop
+        print(f"[bench] sweep {isweep} {dt:.2f}s e={energy:.6f}",
+              file=sys.stderr, flush=True)
         if isweep >= len(warm):
             times.append(dt)
     return sum(times) / len(times), energy, model
