@@ -141,9 +141,13 @@ def select_indices(sset, qnlist, Mmax, percent=0) -> List[int]:
     (the index-selection half of :func:`select_basis`)."""
     sset = np.asarray(sset)
     qnlist = [tuple(qn) for qn in qnlist]
-    # bucketed device kernels mark pad slots with sigma = -1: unselectable
+    # bucketed device kernels mark pad slots with the sentinel sigma = -1:
+    # unselectable.  The cut must NOT catch roundoff-negative weights (the
+    # averaged-density-matrix path feeds eigenvalues here, where eigenvalues
+    # that are mathematically 0 come out as -1e-17 and must stay selectable
+    # — filtering them collapsed thermal-state bond dimensions to 1).
     available = {i: (qnlist[i], sset[i]) for i in range(len(qnlist))
-                 if sset[i] >= 0}
+                 if sset[i] > -0.5}
     qnset = {qnlist[i] for i in available}
 
     def take_from_block(qn, n):
