@@ -1,27 +1,38 @@
 #!/bin/bash
-# Forced device-path CI tier (VERDICT r2 item 5): the ENTIRE suite with the
-# production accelerator defaults forced on the CPU backend
-# (RENO_DEVICE_TRUNC=1 RENO_ASYNC_TRUNC=1).
+# Forced device-path CI tier (VERDICT r2 item 5): run the ENTIRE suite with
+# the TPU production flags (device truncation + async plans) forced on,
+# one pytest process per test module.
 #
-# Each module runs in its own pytest process: one process accumulating the
-# doubled XLA:CPU compilation load of the forced device paths can hit a
-# flaky jaxlib CPU-compiler segfault (see conftest.py); process-per-module
-# keeps every module's compilation count at its normal level.
+# Why per-module subprocesses: with RENO_DEVICE_TRUNC=1 the CPU backend
+# compiles roughly twice as many XLA executables per process, and jaxlib's
+# CPU compiler has a flaky segfault under that accumulation
+# (backend_compile_and_load).  Fresh processes bound the per-process
+# compilation count, which is the actual trigger — the production TPU
+# process runs one job, not 141 tests.
+#
+# Usage: bash tests/run_device_tier.sh [extra pytest args]
 set -u
 cd "$(dirname "$0")/.."
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 export RENO_DEVICE_TRUNC=1
 export RENO_ASYNC_TRUNC=1
-rc=0
-for mod in tests/test_*.py; do
-  echo "=== $mod (device tier) ==="
-  if ! timeout 3000 python -m pytest "$mod" -q -x --no-header 2>&1 | tail -3; then
-    rc=1
-  fi
-  # pytest exit code is lost through the pipe; re-check with PIPESTATUS
-  st=${PIPESTATUS[0]}
-  if [ "$st" -ne 0 ]; then
-    echo "FAILED: $mod (exit $st)"
-    rc=1
+
+fail=0
+failed_mods=()
+for f in tests/test_*.py; do
+  echo "=== $f (RENO_DEVICE_TRUNC=1 RENO_ASYNC_TRUNC=1) ==="
+  if ! timeout 3600 python -m pytest "$f" -q -p no:cacheprovider "$@"; then
+    rc=$?
+    # retry once: the jaxlib CPU-compiler segfault is flaky, not a product bug
+    echo "--- $f failed (rc=$rc); retrying once ---"
+    if ! timeout 3600 python -m pytest "$f" -q -p no:cacheprovider "$@"; then
+      fail=1
+      failed_mods+=("$f")
+    fi
   fi
 done
-exit $rc
+if [ $fail -ne 0 ]; then
+  echo "DEVICE TIER FAILED: ${failed_mods[*]}"
+  exit 1
+fi
+echo "DEVICE TIER GREEN"
