@@ -330,28 +330,18 @@ def lam_to_sigma(lam) -> np.ndarray:
     return np.where(lam < 0, -1.0, np.sqrt(np.maximum(lam, 0.0)))
 
 
-@lru_cache(maxsize=512)
-def _sector_factory_bucketed(m: int, n: int, mlp: int, nrp: int, l1p: int,
-                             transpose: bool, dtype_name: str,
-                             eigh_impl: str = "xla", orth_impl: str = "qr"):
-    """Bucketed twin of :func:`_sector_factory` (no complement, no right
-    factor): the sector block is gathered with PADDED index arrays and
-    masked to exact zeros, so one executable serves every sector whose
-    (ml, nr) rounds up to (mlp, nrp).  Pad candidate slots (>= the real
-    sketch width ``l1_real``, passed as a traced scalar) and any column
-    whose in-sector mass was lost to masking report ``lam = -1``."""
+def _candidate_core(l1p: int, eigh_impl: str, orth_impl: str):
+    """Randomized range finder + Rayleigh-Ritz on one (masked) sector block
+    ``a``: returns (candidates (rows, l1p), lam (l1p,) descending).  Pad
+    candidate slots (>= the real sketch width ``l1_real``, a traced scalar)
+    and any column whose in-sector mass was lost to masking report
+    ``lam = -1``."""
     import jax
     import jax.numpy as jnp
 
     orth = _orth_cholqr if orth_impl == "cholqr" else _orth
-    rows_out = n if transpose else m
 
-    @jax.jit
-    def run(cmat, gr, gc, mask_r, mask_c, l1_real, key):
-        block = cmat[gr][:, gc] * (mask_r[:, None] * mask_c[None, :])
-        a = block.T if transpose else block           # (rap, rbp)
-        mask_a = mask_c if transpose else mask_r      # rows of a
-        scatter_idx = gc if transpose else gr
+    def core(a, mask_a, l1_real, key):
         rbp = a.shape[1]
         omega = jax.random.normal(key, (rbp, l1p), dtype=jnp.float32).astype(a.dtype)
         y = orth(a @ omega)
@@ -374,8 +364,125 @@ def _sector_factory_bucketed(m: int, n: int, mlp: int, nrp: int, l1p: int,
         colmass = jnp.sum(jnp.abs(vals) ** 2, axis=0).real
         slot_ok = (jnp.arange(l1p) < l1_real) & (colmass > 0.5)
         lam = jnp.where(slot_ok, lam, -1.0)
+        return vals, lam
+
+    return core
+
+
+def _bucketed_body(l1p: int, transpose: bool, rows_out: int,
+                   eigh_impl: str, orth_impl: str):
+    """Shared candidate-kernel body for the bucketed factories: gather one
+    (padded) sector block, run :func:`_candidate_core`, scatter the
+    candidates back into the full row space."""
+    import jax.numpy as jnp
+
+    core = _candidate_core(l1p, eigh_impl, orth_impl)
+
+    def run(cmat, gr, gc, mask_r, mask_c, l1_real, key):
+        block = cmat[gr][:, gc] * (mask_r[:, None] * mask_c[None, :])
+        a = block.T if transpose else block           # (rap, rbp)
+        mask_a = mask_c if transpose else mask_r      # rows of a
+        scatter_idx = gc if transpose else gr
+        vals, lam = core(a, mask_a, l1_real, key)
         out = jnp.zeros((rows_out, l1p), dtype=cmat.dtype).at[scatter_idx].add(vals)
         return out, lam
+
+    return run
+
+
+@lru_cache(maxsize=512)
+def _sector_factory_masked(m: int, n: int, nsec: int, l1p: int,
+                           transpose: bool, dtype_name: str,
+                           eigh_impl: str = "xla", orth_impl: str = "qr"):
+    """Mask-only batched candidate kernel: every sector sees the FULL
+    (m, n) coefficient, zeroed outside the sector by per-sector row/column
+    masks — no gather, no scatter, no padded-extent bookkeeping.
+
+    The payoff is shape stability: the executable's signature depends only
+    on (m, n, nsec, l1p), all of which are fixed per site at a converged
+    bond dimension — the qn-sector SPLIT (which drifts for many sweeps
+    after the energy converges, and drives an open-ended recompile tail in
+    the gather-bucketed kernels whose shapes track the max sector extent)
+    never enters compilation.  The extra FLOPs from full-extent padding are
+    batched MXU matmuls — cheap where launches and compiles are not.  Used
+    when the batch fits the memory budget (:func:`mask_budget`); the
+    gather-bucketed batch is the fallback for huge multi-sector sites."""
+    import jax
+    import jax.numpy as jnp
+
+    rows_out = n if transpose else m
+    core = _candidate_core(l1p, eigh_impl, orth_impl)
+
+    def body(cmat, mask_r, mask_c, l1_real, key):
+        block = cmat * (mask_r[:, None] * mask_c[None, :])
+        a = block.T if transpose else block
+        mask_a = mask_c if transpose else mask_r
+        return core(a, mask_a, l1_real, key)
+
+    vbody = jax.vmap(body, in_axes=(None, 0, 0, 0, None))
+
+    @jax.jit
+    def run(cmat, mask_r, mask_c, l1_real, key):
+        out, lam = vbody(cmat, mask_r, mask_c, l1_real, key)
+        # (nsec, rows_out, l1p) -> (rows_out, nsec*l1p), sector-major
+        out = jnp.moveaxis(out, 0, 1).reshape(rows_out, nsec * l1p)
+        return out, lam.reshape(-1)
+
+    return run
+
+
+def mask_budget() -> int:
+    """Byte budget for the mask-only batched kernel's (nsec, m, n) blocks
+    (``RENO_TRUNC_MASK_BUDGET``, default 256 MB).  Batches beyond it use the
+    gather-bucketed batched kernel instead."""
+    import os
+
+    return int(os.environ.get("RENO_TRUNC_MASK_BUDGET", str(256 * 2**20)))
+
+
+@lru_cache(maxsize=512)
+def _sector_factory_bucketed(m: int, n: int, mlp: int, nrp: int, l1p: int,
+                             transpose: bool, dtype_name: str,
+                             eigh_impl: str = "xla", orth_impl: str = "qr"):
+    """Bucketed twin of :func:`_sector_factory` (no complement, no right
+    factor): the sector block is gathered with PADDED index arrays and
+    masked to exact zeros, so one executable serves every sector whose
+    (ml, nr) rounds up to (mlp, nrp)."""
+    import jax
+
+    rows_out = n if transpose else m
+    return jax.jit(_bucketed_body(l1p, transpose, rows_out, eigh_impl,
+                                  orth_impl))
+
+
+@lru_cache(maxsize=512)
+def _sector_factory_batched(m: int, n: int, nsec: int, mlp: int, nrp: int,
+                            l1p: int, transpose: bool, dtype_name: str,
+                            eigh_impl: str = "xla", orth_impl: str = "qr"):
+    """ALL sectors of one site update in ONE dispatch: every sector padded
+    to the update-wide bucket shape (mlp, nrp) and the bucketed kernel
+    vmapped over the stacked sector axis.
+
+    This is the launch-count fix for the relay-attached device: the
+    per-sector dispatch chain (~10 sectors x ~3 kernels per update, each
+    launch paying tunnel latency) collapses to one executable whose inner
+    batch runs back-to-back on device.  The padding costs MXU-friendly
+    extra FLOPs, which are cheap; launches are not.  Outputs are reshaped
+    to the sector-major concatenated layout the selection step already
+    uses: candidates (rows_out, nsec*l1p), lam (nsec*l1p,)."""
+    import jax
+    import jax.numpy as jnp
+
+    rows_out = n if transpose else m
+    body = _bucketed_body(l1p, transpose, rows_out, eigh_impl, orth_impl)
+    vbody = jax.vmap(body, in_axes=(None, 0, 0, 0, 0, 0, None))
+
+    @jax.jit
+    def run(cmat, gr, gc, mask_r, mask_c, l1_real, key):
+        out, lam = vbody(cmat, gr, gc, mask_r, mask_c, l1_real, key)
+        # (nsec, rows_out, l1p) -> (rows_out, nsec*l1p), sector-major
+        out = jnp.moveaxis(out, 0, 1).reshape(rows_out, nsec * l1p)
+        return out, lam.reshape(-1)
 
     return run
 
@@ -490,6 +597,17 @@ def async_enabled() -> bool:
     import jax
 
     return jax.default_backend() != "cpu"
+
+
+def batch_enabled() -> bool:
+    """One-dispatch batched sector kernels (``RENO_TRUNC_BATCH``, default
+    on): pad every sector of a site update to the update-wide bucket shape
+    and vmap — one executable launch instead of one per sector.  Padding
+    trades MXU-cheap FLOPs for launch count, which dominates on a
+    relay-attached device; ``0`` restores the per-sector dispatch loop."""
+    import os
+
+    return os.environ.get("RENO_TRUNC_BATCH", "1") != "0"
 
 
 def _orth_impl() -> str:
@@ -626,6 +744,95 @@ def candidates(coef_array, qnbigl, qnbigr, qntot, system: str, cap: int,
     mask_dtype = np.float64 if rdtype in (np.dtype(np.float64),
                                           np.dtype(np.complex128)) else np.float32
 
+    eigh_impl_default = "xla"
+    if not np.issubdtype(rdtype, np.complexfloating):
+        from renormalizer_tpu.ops.jacobi import pallas_eigh_enabled
+
+        if pallas_eigh_enabled():
+            eigh_impl_default = "jacobi"
+
+    # one-dispatch path: all sectors of the update in a single executable
+    if use_bucket and sector_devs is None and batch_enabled():
+        secs = []
+        for nl, lset, rset in sectors:
+            ml, nr = len(lset), len(rset)
+            l1 = min(min(ml, nr), cap + OVERSAMPLE)
+            if l1 > 0:
+                secs.append((nl, lset, rset, ml, nr))
+        # pad the sector axis to a multiple of 2: sector count drifts +-1
+        # as qn splits shift between sweeps, and each count is its own
+        # executable.  A pad slot is all-zero masks with l1_real=0, so
+        # every candidate it reports is the -1 sentinel (unselectable)
+        nsec_p = -(-len(secs) // 2) * 2
+        if secs and nsec_p * m * n * rdtype.itemsize <= mask_budget():
+            # mask-only kernel: shapes depend ONLY on site-fixed (m, n),
+            # the padded sector count and the sketch width — the drifting
+            # sector extents never reach the compiler
+            l1p = min(min(m, n), cap + OVERSAMPLE)
+            mask_r_b = np.zeros((nsec_p, m), dtype=mask_dtype)
+            mask_c_b = np.zeros((nsec_p, n), dtype=mask_dtype)
+            l1_b = np.zeros((nsec_p,), dtype=np.int32)
+            qn_list = []
+            for i in range(nsec_p):
+                if i >= len(secs):  # pad slot
+                    qn_list.extend([qn_list[-1]] * l1p)
+                    continue
+                nl, lset, rset, ml, nr = secs[i]
+                mask_r_b[i, lset] = 1
+                mask_c_b[i, rset] = 1
+                l1_b[i] = min(min(ml, nr), cap + OVERSAMPLE)
+                label = (tuple(nl) if not transpose
+                         else tuple(np.asarray(qntot) - nl))
+                qn_list.extend([label] * l1p)
+            run = _sector_factory_masked(m, n, nsec_p, l1p, transpose,
+                                         str(cmat.dtype), eigh_impl_default,
+                                         _orth_impl())
+            out, lam_dev = run(cmat, _device_idx(mask_r_b),
+                               _device_idx(mask_c_b), _device_idx(l1_b),
+                               key_base)
+            parts = [out]
+            if not fetch:
+                return parts, lam_dev, qn_list
+            return parts, lam_to_sigma(lam_dev), qn_list
+        if len(secs) > 1:
+            mlp = min(-(-max(s[3] for s in secs) // bq) * bq, m)
+            nrp = min(-(-max(s[4] for s in secs) // bq) * bq, n)
+            l1p = min(min(mlp, nrp), cap + OVERSAMPLE)
+            # pad the sector axis to a multiple of 2: sector count drifts
+            # +-1 as qn splits shift between sweeps, and each count is its
+            # own executable.  A pad slot is all-zero masks with l1_real=0,
+            # so every candidate it reports is the -1 sentinel (unselectable)
+            nsec = -(-len(secs) // 2) * 2
+            gr_b = np.zeros((nsec, mlp), dtype=np.int32)
+            gc_b = np.zeros((nsec, nrp), dtype=np.int32)
+            mask_r_b = np.zeros((nsec, mlp), dtype=mask_dtype)
+            mask_c_b = np.zeros((nsec, nrp), dtype=mask_dtype)
+            l1_b = np.zeros((nsec,), dtype=np.int32)
+            qn_list = []
+            for i in range(nsec):
+                if i >= len(secs):  # pad slot: zero masks, l1_real = 0
+                    qn_list.extend([qn_list[-1]] * l1p)
+                    continue
+                nl, lset, rset, ml, nr = secs[i]
+                gr_b[i, :ml] = lset
+                gc_b[i, :nr] = rset
+                mask_r_b[i, :ml] = 1
+                mask_c_b[i, :nr] = 1
+                l1_b[i] = min(min(ml, nr), cap + OVERSAMPLE)
+                label = (tuple(nl) if not transpose
+                         else tuple(np.asarray(qntot) - nl))
+                qn_list.extend([label] * l1p)
+            run = _sector_factory_batched(m, n, nsec, mlp, nrp, l1p,
+                                          transpose, str(cmat.dtype),
+                                          eigh_impl_default, _orth_impl())
+            out, lam_dev = run(cmat, _device_idx(gr_b), _device_idx(gc_b),
+                               _device_idx(mask_r_b), _device_idx(mask_c_b),
+                               _device_idx(l1_b), key_base)
+            parts = [out]
+            if not fetch:
+                return parts, lam_dev, qn_list
+            return parts, lam_to_sigma(lam_dev), qn_list
+
     parts = []
     parts_v = []
     lams = []
@@ -638,12 +845,7 @@ def candidates(coef_array, qnbigl, qnbigr, qntot, system: str, cap: int,
         l2 = min(max(rows - l1, 0), cap) if want_complement else 0
         if l1 + l2 == 0:
             continue
-        eigh_impl = "xla"
-        if not np.issubdtype(rdtype, np.complexfloating):
-            from renormalizer_tpu.ops.jacobi import pallas_eigh_enabled
-
-            if pallas_eigh_enabled():
-                eigh_impl = "jacobi"
+        eigh_impl = eigh_impl_default
         dev = None
         cmat_s, key_s = cmat, key_base
         if sector_devs is not None:

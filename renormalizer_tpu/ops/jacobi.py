@@ -38,49 +38,82 @@ def _round_up(x, m):
 @lru_cache(maxsize=128)
 def _jacobi_factory(n: int, sweeps: int, interpret: bool):
     """Jitted pallas eigensolver for (n, n) symmetric float32/float64,
-    n even.  Returns (eigenvalues (n,), eigenvectors (n, n) columns)."""
+    n even.  Returns (eigenvalues (n,), eigenvectors (n, n) columns).
+
+    Layout: the matrix lives in the kernel as four (m, m) quadrant scratch
+    refs (m = n/2) and the eigenvector matrix as two (n, m) half refs.  The
+    pairing for round r is always (row i, row m+i), i.e. (top, bottom), so
+    every rotation is a full-quadrant elementwise op, and the tournament
+    re-pairing is a shift-by-one ``roll`` plus two masked single-row (or
+    single-column) fixups.  Nothing in the hot loop slices at an unaligned
+    offset — the original slice-and-concatenate permutation made Mosaic
+    materialize ~290 full-matrix stack temporaries (42 MB of scoped vmem at
+    n=192, over the 16 MB limit; measured on v5e), while this formulation
+    compiles to a constant handful."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     m = n // 2
+    assert m >= 2
     # convergence: at least ``sweeps`` full cycles (the tournament ordering
     # returns to identity after each n-1 rounds), then keep sweeping while
     # the off-diagonal Frobenius norm is above the dtype floor, bounded by
     # +16 extra sweeps.  No host syncs: the check runs inside the kernel.
     max_sweeps = sweeps + 16
 
-    def kernel(a_ref, w_ref, v_ref, resid_ref, a_s, v_s):
-        a_s[:] = a_ref[:]
-        v_s[:] = jnp.eye(n, dtype=a_ref.dtype)
+    def kernel(tl_ref, tr_ref, bl_ref, br_ref,
+               w_ref, vl_out, vr_out, resid_ref,
+               tl_s, tr_s, bl_s, br_s, vl_s, vr_s):
+        dtype = tl_ref.dtype
+        tl_s[:] = tl_ref[:]
+        tr_s[:] = tr_ref[:]
+        bl_s[:] = bl_ref[:]
+        br_s[:] = br_ref[:]
+        ri_n = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+        ci_m = jax.lax.broadcasted_iota(jnp.int32, (1, m), 1)
+        # v = I split into halves: vl[i, j] = (i == j), vr[i, j] = (i == j+m)
+        vl_s[:] = (ri_n == ci_m).astype(dtype)
+        vr_s[:] = (ri_n == ci_m + m).astype(dtype)
 
-        def permute_rows(x):
-            # round-robin walk: position 0 fixed; everyone else shifts one
-            # seat: new order = [0, m, 1..m-2 | m+1..n-1, m-1]
-            return jnp.concatenate([
-                x[0:1], x[m:m + 1], x[1:m - 1],
-                x[m + 1:], x[m - 1:m],
-            ], axis=0)
+        eye_m = (jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
+                 == jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)).astype(dtype)
+        row_idx = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+        col_idx = ci_m
 
-        def permute_cols(x):
-            return jnp.concatenate([
-                x[:, 0:1], x[:, m:m + 1], x[:, 1:m - 1],
-                x[:, m + 1:], x[:, m - 1:m],
-            ], axis=1)
+        def permute_pair_rows(top, bot):
+            # full-row permutation [0, m, 1..m-2 | m+1..n-1, m-1] expressed
+            # on the (top, bot) halves:
+            #   top' = [t0, b0, t1..t_{m-2}],  bot' = [b1..b_{m-1}, t_{m-1}]
+            top_roll = pltpu.roll(top, 1, 0)      # [t_{m-1}, t0, .., t_{m-2}]
+            t_last = top_roll[0:1]
+            top_new = jnp.where(row_idx == 0, top[0:1],
+                                jnp.where(row_idx == 1, bot[0:1], top_roll))
+            bot_new = jnp.where(row_idx == m - 1, t_last,
+                                pltpu.roll(bot, m - 1, 0))
+            return top_new, bot_new
 
-        eye_m = jnp.eye(m, dtype=a_ref.dtype)
+        def permute_pair_cols(left, right):
+            left_roll = pltpu.roll(left, 1, 1)
+            l_last = left_roll[:, 0:1]
+            left_new = jnp.where(col_idx == 0, left[:, 0:1],
+                                 jnp.where(col_idx == 1, right[:, 0:1],
+                                           left_roll))
+            right_new = jnp.where(col_idx == m - 1, l_last,
+                                  pltpu.roll(right, m - 1, 1))
+            return left_new, right_new
 
         def round_body(r, _):
-            a = a_s[:]
-            v = v_s[:]
-            # pair i = (row i, row m+i); extract the 2x2 blocks via masked
-            # row-sums (no gathers on TPU)
-            app = jnp.sum(a[:m, :m] * eye_m, axis=1)
-            aqq = jnp.sum(a[m:, m:] * eye_m, axis=1)
-            apq = jnp.sum(a[:m, m:] * eye_m, axis=1)
+            tl, tr = tl_s[:], tr_s[:]
+            bl, br = bl_s[:], br_s[:]
+            vl, vr = vl_s[:], vr_s[:]
+            # pair i = (row i, row m+i); 2x2 blocks via masked row-sums
+            app = jnp.sum(tl * eye_m, axis=1)
+            aqq = jnp.sum(br * eye_m, axis=1)
+            apq = jnp.sum(tr * eye_m, axis=1)
             # Rutishauser rotation: zero a_pq
-            safe = jnp.abs(apq) > jnp.finfo(a.dtype).tiny
+            safe = jnp.abs(apq) > jnp.finfo(dtype).tiny
             theta = (aqq - app) / jnp.where(safe, 2 * apq, 1.0)
             sgn = jnp.where(theta >= 0, 1.0, -1.0).astype(theta.dtype)
             t = sgn / (jnp.abs(theta) + jnp.sqrt(1.0 + theta * theta))
@@ -88,38 +121,48 @@ def _jacobi_factory(n: int, sweeps: int, interpret: bool):
             s = t * c
             c = jnp.where(safe, c, 1.0)
             s = jnp.where(safe, s, 0.0)
+            cr, sr = c[:, None], s[:, None]   # row-side factors
+            cc, sc = c[None, :], s[None, :]   # column-side factors
 
-            # rows: [p; q] <- [[c, -s], [s, c]]^T applied pairwise
-            top, bot = a[:m, :], a[m:, :]
-            new_top = c[:, None] * top - s[:, None] * bot
-            new_bot = s[:, None] * top + c[:, None] * bot
-            a = jnp.concatenate([new_top, new_bot], axis=0)
-            # columns
-            left, right = a[:, :m], a[:, m:]
-            a = jnp.concatenate(
-                [c[None, :] * left - s[None, :] * right,
-                 s[None, :] * left + c[None, :] * right], axis=1
-            )
-            vl, vr = v[:, :m], v[:, m:]
-            v = jnp.concatenate(
-                [c[None, :] * vl - s[None, :] * vr,
-                 s[None, :] * vl + c[None, :] * vr], axis=1
-            )
-            # tournament re-pairing (static permutation, period n-1)
-            a_s[:] = permute_rows(permute_cols(a))
-            v_s[:] = permute_cols(v)
+            # rows: [p; q] <- [[c, -s], [s, c]]^T pairwise, per column half
+            tl1 = cr * tl - sr * bl
+            bl1 = sr * tl + cr * bl
+            tr1 = cr * tr - sr * br
+            br1 = sr * tr + cr * br
+            # columns: [l, r] <- [l, r] [[c, s], [-s, c]] per row half
+            tl2 = tl1 * cc - tr1 * sc
+            tr2 = tl1 * sc + tr1 * cc
+            bl2 = bl1 * cc - br1 * sc
+            br2 = bl1 * sc + br1 * cc
+            vl2 = vl * cc - vr * sc
+            vr2 = vl * sc + vr * cc
+
+            # tournament re-pairing (period n-1): columns then rows
+            tl3, tr3 = permute_pair_cols(tl2, tr2)
+            bl3, br3 = permute_pair_cols(bl2, br2)
+            vl3, vr3 = permute_pair_cols(vl2, vr2)
+            tl4, bl4 = permute_pair_rows(tl3, bl3)
+            tr4, br4 = permute_pair_rows(tr3, br3)
+            tl_s[:], tr_s[:] = tl4, tr4
+            bl_s[:], br_s[:] = bl4, br4
+            vl_s[:], vr_s[:] = vl3, vr3
             return 0
 
-        eye_n = jnp.eye(n, dtype=a_ref.dtype)
-        off0 = jnp.sum((a_ref[:] * (1 - eye_n)) ** 2)
-        diag0 = jnp.sum((a_ref[:] * eye_n) ** 2)
-        tol2 = (jnp.finfo(a_ref.dtype).eps ** 2) * (off0 + diag0)
+        def off_diag2():
+            tl, tr = tl_s[:], tr_s[:]
+            bl, br = bl_s[:], br_s[:]
+            total = (jnp.sum(tl * tl) + jnp.sum(tr * tr)
+                     + jnp.sum(bl * bl) + jnp.sum(br * br))
+            diag = (jnp.sum((tl * eye_m) ** 2) + jnp.sum((br * eye_m) ** 2))
+            return total - diag, diag
+
+        off0, diag0 = off_diag2()
+        tol2 = (jnp.finfo(dtype).eps ** 2) * (off0 + diag0)
 
         def sweep_body(carry):
             isweep, _ = carry
             jax.lax.fori_loop(0, n - 1, round_body, 0)
-            a = a_s[:]
-            off = jnp.sum((a * (1 - eye_n)) ** 2)
+            off, _ = off_diag2()
             return isweep + 1, off
 
         def sweep_cond(carry):
@@ -127,36 +170,47 @@ def _jacobi_factory(n: int, sweeps: int, interpret: bool):
             return (isweep < sweeps) | ((off > tol2) & (isweep < max_sweeps))
 
         _, off_final = jax.lax.while_loop(
-            sweep_cond, sweep_body, (0, off0 + jnp.asarray(1.0, a_ref.dtype))
+            sweep_cond, sweep_body, (0, off0 + jnp.asarray(1.0, dtype))
         )
-        a = a_s[:]
-        w_ref[:] = jnp.sum(a * eye_n, axis=1)
-        v_ref[:] = v_s[:]
+        # natural index order is [top rows | bottom rows]
+        w_ref[0:1] = jnp.sum(tl_s[:] * eye_m, axis=1)[None]
+        w_ref[1:2] = jnp.sum(br_s[:] * eye_m, axis=1)[None]
+        vl_out[:] = vl_s[:]
+        vr_out[:] = vr_s[:]
         # relative off-diagonal residual: callers can assert convergence
         resid_ref[:] = jnp.sqrt(off_final / (off0 + diag0 + tol2))[None]
 
     @jax.jit
     def run(a):
         dtype = a.dtype
-        return pl.pallas_call(
+        w2, vl, vr, resid = pl.pallas_call(
             kernel,
             out_shape=(
-                jax.ShapeDtypeStruct((n,), dtype),
-                jax.ShapeDtypeStruct((n, n), dtype),
+                jax.ShapeDtypeStruct((2, m), dtype),
+                jax.ShapeDtypeStruct((n, m), dtype),
+                jax.ShapeDtypeStruct((n, m), dtype),
                 jax.ShapeDtypeStruct((1,), dtype),
             ),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
             out_specs=(
+                pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[
-                pltpu.VMEM((n, n), dtype),
-                pltpu.VMEM((n, n), dtype),
+                pltpu.VMEM((m, m), dtype),
+                pltpu.VMEM((m, m), dtype),
+                pltpu.VMEM((m, m), dtype),
+                pltpu.VMEM((m, m), dtype),
+                pltpu.VMEM((n, m), dtype),
+                pltpu.VMEM((n, m), dtype),
             ],
             interpret=interpret,
-        )(a)
+        )(a[:m, :m], a[:m, m:], a[m:, :m], a[m:, m:])
+        w = w2.reshape(-1)
+        v = jnp.concatenate([vl, vr], axis=1)
+        return w, v, resid
 
     return run
 

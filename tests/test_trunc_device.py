@@ -354,3 +354,42 @@ def test_threshold_sketch_dmrg(monkeypatch):
     calls["frob"] = 0
     e_tiny, _ = run("1", "1")
     assert min(e_tiny) == pytest.approx(min(e_host), rel=1e-6)
+
+
+@pytest.mark.parametrize("system", ["L", "R"])
+def test_batched_candidates_match_sector_loop(system, monkeypatch):
+    """The one-dispatch batched kernel (RENO_TRUNC_BATCH) must produce the
+    same candidate spectrum and an equally good basis as the per-sector
+    dispatch loop (not bit-identical: the padded sketch widths differ, so
+    the random test matrices differ — both are exact up to the sketch)."""
+    rng = np.random.default_rng(7)
+    m, n, cap = 150, 130, 48
+    qnl = rng.integers(0, 3, (m, 1))
+    qnr = rng.integers(0, 3, (n, 1))
+    qntot = np.array([2])
+    c = rng.standard_normal((m, n))
+    c *= (qnl + qnr.T) == qntot
+
+    def run():
+        parts, sigma, qn_list = trunc_device.candidates(
+            c, qnl, qnr, qntot, system, cap, want_complement=False
+        )
+        sidx = select_indices(sigma, qn_list, cap, 0)
+        ms, comp = trunc_device.apply_selection(c, parts, sidx, m, n, system)
+        return np.sort(sigma[sigma >= 0])[::-1], np.asarray(ms), np.asarray(comp)
+
+    monkeypatch.setenv("RENO_TRUNC_BATCH", "1")
+    s_b, ms_b, comp_b = run()
+    monkeypatch.setenv("RENO_TRUNC_BATCH", "0")
+    s_l, ms_l, comp_l = run()
+
+    k = min(cap, min(len(s_b), len(s_l)))
+    np.testing.assert_allclose(s_b[:k], s_l[:k], atol=1e-8)
+    # both bases orthonormal and equally good truncations
+    for ms, comp in ((ms_b, comp_b), (ms_l, comp_l)):
+        assert np.abs(ms.conj().T @ ms - np.eye(ms.shape[1])).max() < 1e-10
+    recon_b = ms_b @ comp_b if system == "L" else comp_b @ ms_b.T
+    recon_l = ms_l @ comp_l if system == "L" else comp_l @ ms_l.T
+    np.testing.assert_allclose(
+        np.linalg.norm(c - recon_b), np.linalg.norm(c - recon_l), atol=1e-9
+    )
