@@ -343,10 +343,56 @@ def _candidate_core(l1p: int, eigh_impl: str, orth_impl: str):
 
     def core(a, mask_a, l1_real, key):
         rbp = a.shape[1]
-        omega = jax.random.normal(key, (rbp, l1p), dtype=jnp.float32).astype(a.dtype)
+        key_w, key_r = jax.random.split(key)
+        omega = jax.random.normal(key_w, (rbp, l1p), dtype=jnp.float32).astype(a.dtype)
         y = orth(a @ omega)
         y = a @ (a.conj().T @ y)
-        q = orth(_colnormalize(y))
+        col_ok = jnp.arange(l1p) < l1_real
+        yn = _colnormalize(y)
+        # In-sector completion regularizer: below the dtype's numerical
+        # rank the power-iterated columns are linearly dependent, and
+        # Householder QR then completes with junk directions spread over
+        # ALL rows — including rows OUTSIDE the sector when ``a`` is a
+        # full-extent masked block (the mask-only batched kernel).  Masking
+        # those columns afterwards destroys their norm and mutual
+        # orthogonality, which is how the masked kernel corrupted the DMRG
+        # basis at f32.  Adding a tiny random component confined to the
+        # sector's rows (Householder preserves exact-zero rows, so nothing
+        # can leak out) makes every completion direction an in-sector
+        # orthonormal vector; the Rayleigh-Ritz below re-extracts the
+        # genuine spectrum from the span, so the perturbation only costs
+        # O(eps^1.5) in the candidates.
+        finfo = jnp.finfo(yn.dtype)
+        reg = jax.random.normal(key_r, yn.shape, dtype=jnp.float32).astype(yn.dtype)
+        yn = yn + reg * (mask_a[:, None].astype(yn.dtype) * (finfo.eps ** 0.75))
+        q = orth(yn)
+        # Re-confine + re-orthonormalize: even with in-sector input,
+        # Householder QR writes reflection residue onto its PIVOT rows —
+        # which are out-of-sector rows in a full-extent masked block — so at
+        # the dtype's rank edge a nearly-dependent column's normalized
+        # residual leaks out of the sector at O(0.1) (measured at f32).
+        # Masking plus two shifted CholeskyQR passes restores exact sector
+        # support: every output column is a linear combination of masked
+        # columns, and the refinement of an almost-orthonormal basis is
+        # stable (kappa ~ 1), so orthonormality lands at roundoff.
+        q = q * mask_a[:, None].astype(q.dtype)
+        eye_r = jnp.eye(l1p, dtype=q.dtype)
+        for _ in range(2):
+            gq = q.conj().T @ q
+            shift = 16 * finfo.eps * jnp.trace(gq).real + finfo.tiny
+            lq = jnp.linalg.cholesky(gq + shift * eye_r)
+            q = jax.lax.linalg.triangular_solve(
+                lq, q, left_side=False, lower=True, transpose_a=True,
+                conjugate_a=True)
+        # Structural-junk columns (sketch slots beyond the sector's rank
+        # bound l1_real) are zeroed EXACTLY before the Rayleigh-Ritz: their
+        # rows of b then vanish, g decouples into [g_real, 0], and eigh
+        # cannot rotate junk directions into genuine eigenvectors through
+        # the near-degenerate tail (lam_real ~ eps^2 vs lam_junk ~ 0 has no
+        # spectral gap — without the hard zero, the mixing angle is O(1) and
+        # the async stale-plan selection can pick a corrupted column, which
+        # is how the masked/batched kernels broke qn purity in DMRG).
+        q = q * col_ok[None, :].astype(q.dtype)
         b = q.conj().T @ a
         g = b @ b.conj().T
         if eigh_impl == "jacobi":
@@ -362,8 +408,18 @@ def _candidate_core(l1p: int, eigh_impl: str, orth_impl: str):
         # Householder-QR junk column (rank-deficient sector) can leak onto
         # pad rows and lose norm when masked — mark it unselectable
         colmass = jnp.sum(jnp.abs(vals) ** 2, axis=0).real
-        slot_ok = (jnp.arange(l1p) < l1_real) & (colmass > 0.5)
+        slot_ok = col_ok & (colmass > 0.5)
         lam = jnp.where(slot_ok, lam, -1.0)
+        # Renormalize the masked columns: slot validity (colmass) is
+        # data-dependent, and in async mode the one-sweep-stale plan may
+        # select a slot whose mass has since drifted — a sub-unit column in
+        # the renormalized basis would silently break canonical form.  A
+        # unit-norm in-sector vector is always a legitimate basis member
+        # (orthogonality to the genuine eigenvector columns is preserved by
+        # the masking, see docstring).
+        scale = jnp.where(colmass > 0.25,
+                          1.0 / jnp.sqrt(jnp.maximum(colmass, 0.25)), 1.0)
+        vals = vals * scale[None, :].astype(vals.dtype)
         return vals, lam
 
     return core

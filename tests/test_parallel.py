@@ -137,6 +137,10 @@ def test_sector_parallel_candidates_bit_identical(mesh22, monkeypatch):
     (SURVEY §2.6 axis (a)) return bit-identical candidates/spectra to the
     single-device dispatch chain."""
     monkeypatch.setenv("RENO_DEVICE_TRUNC", "1")
+    # this test compares sector PLACEMENT, not kernel families: the batched
+    # one-dispatch kernels only run when sector placement is off, so pin
+    # them off for both sides of the comparison
+    monkeypatch.setenv("RENO_TRUNC_BATCH", "0")
     from renormalizer_tpu.mps import trunc_device
 
     rng = np.random.default_rng(11)

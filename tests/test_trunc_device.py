@@ -393,3 +393,51 @@ def test_batched_candidates_match_sector_loop(system, monkeypatch):
     np.testing.assert_allclose(
         np.linalg.norm(c - recon_b), np.linalg.norm(c - recon_l), atol=1e-9
     )
+
+
+@pytest.mark.parametrize("system", ["L", "R"])
+def test_masked_kernel_basis_quality_f32(system, monkeypatch):
+    """Round-3 regression: at f32, the mask-only batched kernel's QR used
+    to complete numerically-dependent columns with junk directions OUTSIDE
+    the sector rows; masking then produced sub-unit, mutually non-orthogonal
+    basis columns (ortho_err ~1e-3) that collapsed DMRG over a few sweeps.
+    With the in-sector completion regularizer the selected basis must be
+    orthonormal to f32 roundoff and exactly qn-pure — for the masked AND the
+    gather-bucketed batched kernels."""
+    rng = np.random.default_rng(3)
+    m, n, cap = 200, 180, 64
+    qnl = rng.integers(0, 3, (m, 1))
+    qnr = rng.integers(0, 3, (n, 1))
+    qntot = np.array([2])
+    # DMRG-like blocks with exponentially decaying sector spectra: the decay
+    # to 1e-9 guarantees columns beyond the f32 numerical rank exist
+    c = np.zeros((m, n), dtype=np.float32)
+    for q in range(3):
+        ls = np.where(qnl[:, 0] == q)[0]
+        rs = np.where((qntot[0] - qnr[:, 0]) == q)[0]
+        r = min(len(ls), len(rs))
+        if r == 0:
+            continue
+        u, _ = np.linalg.qr(rng.standard_normal((len(ls), r)))
+        v, _ = np.linalg.qr(rng.standard_normal((len(rs), r)))
+        s = 10.0 ** np.linspace(0, -9, r)
+        c[np.ix_(ls, rs)] = (u * s) @ v.T
+
+    monkeypatch.setenv("RENO_TRUNC_BATCH", "1")
+    for budget in ("999999999", "0"):  # masked kernel, then gather fallback
+        monkeypatch.setenv("RENO_TRUNC_MASK_BUDGET", budget)
+        parts, sigma, qn_list = trunc_device.candidates(
+            c, qnl, qnr, qntot, system, cap, want_complement=False
+        )
+        sidx = select_indices(sigma, qn_list, cap, 0)
+        ms, _ = trunc_device.apply_selection(c, parts, sidx, m, n, system)
+        ms = np.asarray(ms)
+        gram = ms.conj().T @ ms
+        assert np.abs(gram - np.eye(ms.shape[1])).max() < 5e-6
+        # a system-L column labeled nl lives on rows with qnl == nl; a
+        # system-R column is labeled qntot - nl and lives on rows with
+        # qnr == qntot - nl, i.e. rows whose qnr equals the label itself
+        qn_rows = qnl[:, 0] if system == "L" else qnr[:, 0]
+        for k, i in enumerate(sidx):
+            off = ms[qn_rows != qn_list[i][0], k]
+            assert np.abs(off).max() == 0.0
