@@ -15,9 +15,12 @@ off directly.  Zero-padded rows/columns are harmless: their off-diagonal
 entries stay exactly zero, every rotation touching them is the identity, and
 they report eigenvalue 0.
 
-Gate: ``RENO_PALLAS_EIGH=1`` opts in (default off until benchmarked on real
-hardware); interpret mode is used automatically off-TPU so the kernel is
-fully CPU-testable.
+Gate: ``RENO_PALLAS_EIGH`` (default ON for accelerator backends, OFF for
+CPU).  Measured on v5e (f32, graded spectrum, fetch-synced): Jacobi 7.2 ms
+vs QDWH 157 ms at 256^2 single, and 14 ms (lax.map) vs 134 ms (vmap) for a
+4-batch — the decisive cost of the truncation path's Rayleigh-Ritz step.
+Interpret mode is used automatically off-TPU so the kernel is fully
+CPU-testable.
 """
 
 from functools import lru_cache
@@ -26,9 +29,19 @@ import numpy as np
 
 
 def pallas_eigh_enabled() -> bool:
+    """Route the truncation path's Rayleigh-Ritz eigendecompositions
+    through the Pallas Jacobi kernel.  ``RENO_PALLAS_EIGH=1/0`` forces;
+    defaults to on for accelerator backends (where it is ~20x faster than
+    QDWH, see module docstring) and off for CPU (interpret mode is
+    correctness-grade, not speed-grade)."""
     import os
 
-    return os.environ.get("RENO_PALLAS_EIGH", "0") == "1"
+    flag = os.environ.get("RENO_PALLAS_EIGH", "")
+    if flag in ("0", "1"):
+        return flag == "1"
+    import jax
+
+    return jax.default_backend() != "cpu"
 
 
 def _round_up(x, m):
