@@ -667,13 +667,27 @@ class MatrixProduct:
             h.update(np.ascontiguousarray(qnbigr).tobytes())
             h.update(str((tuple(np.atleast_1d(self.qntot)), cap, system)).encode())
             pattern = h.digest()
-        parts, lam, qn_list = trunc_device.candidates(
+        parts, lam, qn_list, layout = trunc_device.candidates(
             cstruct, qnbigl, qnbigr, self.qntot, system, cap,
             want_complement=(percent != 0), fetch=not use_async,
+            return_layout=True,
         )
+        sigma = None
+        counts = None
         if use_async:
             plan = self._trunc_plans.get(plan_key)
-            if plan is not None and plan[0] == pattern:
+            if (plan is not None and plan[0] == pattern
+                    and plan[2] is not None and plan[3] == layout):
+                # Plan-constrained STATIC selection: the batched kernels
+                # emit each sector's candidates in descending-lambda order,
+                # so with the per-sector keep counts frozen by the plan the
+                # selected slots are exactly the first k_i of each sector —
+                # no device data is needed at all, and (unlike the stale-
+                # spectrum reuse) the kept columns are the CURRENT sweep's
+                # top states.  This removes the last per-update host sync
+                # (each one costs a full relay RTT, ~34 ms measured).
+                counts = plan[2]
+            elif plan is not None and plan[0] == pattern:
                 # previous visit's spectrum: already copied to the host
                 sigma = trunc_device.lam_to_sigma(plan[1])
             else:
@@ -682,9 +696,29 @@ class MatrixProduct:
                 lam.copy_to_host_async()
             except Exception:
                 pass
-            self._trunc_plans[plan_key] = (pattern, lam)
+            self._trunc_plans[plan_key] = (pattern, lam, counts, layout)
         else:
             sigma = lam
+        if counts is not None:
+            # static path: first k_i slots of each sector (see above)
+            nsec_l, l1p_l = layout
+            sidx = np.concatenate(
+                [np.arange(k, dtype=np.int64) + i * l1p_l
+                 for i, k in enumerate(counts) if k]
+            )
+            msdim = len(sidx)
+            msqn = np.array([qn_list[i] for i in sidx])
+            ms_mat, comp_mat = trunc_device.apply_selection(
+                cstruct, parts, sidx, m, n, system
+            )
+            if self.to_right:
+                ms = ms_mat.reshape(list(qnbigl.shape[:-1]) + [msdim])
+                compms = comp_mat.reshape([msdim] + list(qnbigr.shape[:-1]))
+            else:
+                ms = jnp.moveaxis(
+                    ms_mat.reshape(list(qnbigr.shape[:-1]) + [msdim]), -1, 0)
+                compms = comp_mat.reshape(list(qnbigl.shape[:-1]) + [msdim])
+            return ms, msdim, msqn, compms
         # bucketed kernels mark pad candidate slots with sigma = -1; they
         # must count toward neither the bond-dimension target nor selection
         total_norm = None
@@ -707,6 +741,23 @@ class MatrixProduct:
         m_trunc = self.compress_config.compute_m_trunc(
             sigma[sigma >= 0], bond_idx, self.to_right, total_norm=total_norm)
         sidx = select_indices(sigma, qn_list, m_trunc, percent)
+        if use_async and layout is not None:
+            # Arm the static path for the next visit IF this selection is
+            # exactly "top k_i of each sector" (it is whenever no sentinel
+            # slot interleaves the kept range): record the per-sector keep
+            # counts so the next visit needs no spectrum at all.
+            nsec_l, l1p_l = layout
+            new_counts = [0] * nsec_l
+            for i in sidx:
+                new_counts[i // l1p_l] += 1
+            is_topk = all(
+                (i % l1p_l) < new_counts[i // l1p_l] for i in sidx
+            )
+            if is_topk and len(sidx):
+                plan = self._trunc_plans.get(plan_key)
+                if plan is not None:
+                    self._trunc_plans[plan_key] = (
+                        plan[0], plan[1], tuple(new_counts), layout)
         msdim = len(sidx)
         msqn = np.array([qn_list[i] for i in sidx])
         ms_mat, comp_mat = trunc_device.apply_selection(

@@ -368,7 +368,8 @@ def _candidate_core(l1p: int, eigh_impl: str, orth_impl: str):
         # genuine spectrum from the span, so the perturbation only costs
         # O(eps^1.5) in the candidates.
         finfo = jnp.finfo(yn.dtype)
-        reg = jax.random.normal(key_r, yn.shape, dtype=jnp.float32).astype(yn.dtype)
+        key_r1, key_r2 = jax.random.split(key_r)
+        reg = jax.random.normal(key_r1, yn.shape, dtype=jnp.float32).astype(yn.dtype)
         yn = yn + reg * (mask_a[:, None].astype(yn.dtype) * (finfo.eps ** 0.75))
         q = orth(yn)
         # Re-confine + re-orthonormalize: even with in-sector input,
@@ -381,14 +382,41 @@ def _candidate_core(l1p: int, eigh_impl: str, orth_impl: str):
         # columns, and the refinement of an almost-orthonormal basis is
         # stable (kappa ~ 1), so orthonormality lands at roundoff.
         q = q * mask_a[:, None].astype(q.dtype)
+        # Replace fully-leaked columns with fresh random IN-SECTOR columns
+        # before re-orthonormalizing.  XLA:TPU's blocked Householder QR can
+        # complete a rank-edge column almost entirely on out-of-sector rows
+        # (measured: 16 of 64 slots lost on v5e where CPU LAPACK lost none),
+        # and a column whose masked norm is ~0 cannot be recovered by the
+        # CholeskyQR refinement (the shift dominates).  A random in-sector
+        # column carries no less information than QR's junk direction, and
+        # after the refinement it becomes an orthonormal completion of the
+        # genuine span with Rayleigh-Ritz weight ~0 — so every slot under
+        # col_ok is ALWAYS a unit in-sector basis vector and slot validity
+        # is layout-deterministic (exactly what the async static-selection
+        # plan requires).  Genuine columns (masked norm ~1) are untouched.
+        colnorm2 = jnp.sum(jnp.abs(q) ** 2, axis=0).real
+        reg2 = (jax.random.normal(key_r2, q.shape, dtype=jnp.float32)
+                .astype(q.dtype) * mask_a[:, None].astype(q.dtype))
+        colok_f = col_ok[None, :].astype(q.dtype)
+        q = jnp.where((colnorm2 < 0.5)[None, :], reg2, q) * colok_f
         eye_r = jnp.eye(l1p, dtype=q.dtype)
-        for _ in range(2):
+        # shifted-CholeskyQR3 schedule: only the FIRST pass carries the
+        # stabilizing shift (16 eps tr(G) ~ 1e-4 at l1p=96/f32 — re-adding
+        # it every pass floors the achievable orthonormality at the shift
+        # itself); clean-up passes run with a vanishing shift and land at
+        # roundoff.  The structural columns (beyond l1_real) are re-zeroed
+        # INSIDE every pass: the triangular solve mixes earlier columns
+        # into later ones, and without the re-zeroing the next pass's Gram
+        # matrix is exactly singular (NaN from an unshifted Cholesky).
+        # With it, every Gram is [G_ok, 0] + shift*I — always PD.
+        for ipass in range(3):
             gq = q.conj().T @ q
-            shift = 16 * finfo.eps * jnp.trace(gq).real + finfo.tiny
+            shift = (16 * finfo.eps * jnp.trace(gq).real if ipass == 0
+                     else 0.0) + finfo.tiny
             lq = jnp.linalg.cholesky(gq + shift * eye_r)
             q = jax.lax.linalg.triangular_solve(
                 lq, q, left_side=False, lower=True, transpose_a=True,
-                conjugate_a=True)
+                conjugate_a=True) * colok_f
         # Structural-junk columns (sketch slots beyond the sector's rank
         # bound l1_real) are zeroed EXACTLY before the Rayleigh-Ritz: their
         # rows of b then vanish, g decouples into [g_real, 0], and eigh
@@ -400,13 +428,24 @@ def _candidate_core(l1p: int, eigh_impl: str, orth_impl: str):
         q = q * col_ok[None, :].astype(q.dtype)
         b = q.conj().T @ a
         g = b @ b.conj().T
-        return q, g
+        # Structural-aware spectral shift: the genuine tail eigenvalues of
+        # g = B B^H come out as tiny NEGATIVES at f32 roundoff, which sorts
+        # them below the structural-zero block and lets zero-eigenvectors
+        # interleave the valid slot range (measured: ~8 slots/sector lost
+        # under the Jacobi eigh on v5e).  Adding delta on the non-structural
+        # diagonal shifts every genuine eigenvalue by exactly delta while
+        # the structural block stays exactly 0 — eigenvectors are unchanged
+        # (the shift commutes with g) and post subtracts delta back, so the
+        # reported spectrum is unbiased and the ordering is deterministic.
+        delta = 4 * finfo.eps * jnp.trace(g).real + finfo.tiny
+        g = g + jnp.eye(l1p, dtype=g.dtype) * (delta * col_ok.astype(g.dtype))[None, :]
+        return q, g, delta
 
-    def post(q, mask_a, l1_real, lam, w):
+    def post(q, mask_a, l1_real, lam, w, delta):
         """Rotate the range basis by the eigenvectors and grade/sentinel
         the candidate slots (``lam``/``w`` in eigh's ascending order)."""
         col_ok = jnp.arange(l1p) < l1_real
-        lam = jnp.nan_to_num(jnp.maximum(lam[::-1], 0))
+        lam = jnp.nan_to_num(jnp.maximum(lam[::-1] - delta, 0))
         u = q @ w[:, ::-1]
         vals = u * mask_a[:, None].astype(u.dtype)
         # a valid candidate keeps (almost) all its mass on real rows; a
@@ -425,12 +464,20 @@ def _candidate_core(l1p: int, eigh_impl: str, orth_impl: str):
         scale = jnp.where(colmass > 0.25,
                           1.0 / jnp.sqrt(jnp.maximum(colmass, 0.25)), 1.0)
         vals = vals * scale[None, :].astype(vals.dtype)
-        return vals, lam
+        # Sink sentinel slots to the end (stable descending sort; sentinels
+        # carry lam = -1).  Without this, an eigensolver that reports a
+        # genuine tail eigenvalue as a tiny NEGATIVE (Jacobi at f32) sorts
+        # it below the structural zeros, so invalid slots interleave the
+        # valid range and the slot layout stops being deterministic — which
+        # both drifts the qn pattern (endless recompiles) and breaks the
+        # async plan's static first-k_i selection.
+        order = jnp.argsort(-lam, stable=True)
+        return vals[:, order], lam[order]
 
     def core(a, mask_a, l1_real, key):
-        q, g = pre(a, mask_a, l1_real, key)
+        q, g, delta = pre(a, mask_a, l1_real, key)
         lam, w = _eigh_one(g, eigh_impl)
-        return post(q, mask_a, l1_real, lam, w)
+        return post(q, mask_a, l1_real, lam, w, delta)
 
     core.pre = pre
     core.post = post
@@ -480,17 +527,17 @@ def _bucketed_body(l1p: int, transpose: bool, rows_out: int,
         mask_a = mask_c if transpose else mask_r      # rows of a
         return core.pre(a, mask_a, l1_real, key)
 
-    def post(gr, gc, mask_r, mask_c, l1_real, q, lam, w):
+    def post(gr, gc, mask_r, mask_c, l1_real, q, lam, w, delta):
         mask_a = mask_c if transpose else mask_r
         scatter_idx = gc if transpose else gr
-        vals, lam = core.post(q, mask_a, l1_real, lam, w)
+        vals, lam = core.post(q, mask_a, l1_real, lam, w, delta)
         out = jnp.zeros((rows_out, l1p), dtype=vals.dtype).at[scatter_idx].add(vals)
         return out, lam
 
     def run(cmat, gr, gc, mask_r, mask_c, l1_real, key):
-        q, g = pre(cmat, gr, gc, mask_r, mask_c, l1_real, key)
+        q, g, delta = pre(cmat, gr, gc, mask_r, mask_c, l1_real, key)
         lam, w = _eigh_one(g, eigh_impl)
-        return post(gr, gc, mask_r, mask_c, l1_real, q, lam, w)
+        return post(gr, gc, mask_r, mask_c, l1_real, q, lam, w, delta)
 
     run.pre = pre
     run.post = post
@@ -527,14 +574,14 @@ def _sector_factory_masked(m: int, n: int, nsec: int, l1p: int,
         return core.pre(a, mask_a, l1_real, key)
 
     vpre = jax.vmap(body_pre, in_axes=(None, 0, 0, 0, None))
-    vpost = jax.vmap(core.post, in_axes=(0, 0, 0, 0, 0))
+    vpost = jax.vmap(core.post, in_axes=(0, 0, 0, 0, 0, 0))
 
     @jax.jit
     def run(cmat, mask_r, mask_c, l1_real, key):
-        q_b, g_b = vpre(cmat, mask_r, mask_c, l1_real, key)
+        q_b, g_b, d_b = vpre(cmat, mask_r, mask_c, l1_real, key)
         lam_b, w_b = _eigh_batched(g_b, eigh_impl)
         mask_ab = mask_c if transpose else mask_r
-        out, lam = vpost(q_b, mask_ab, l1_real, lam_b, w_b)
+        out, lam = vpost(q_b, mask_ab, l1_real, lam_b, w_b, d_b)
         # (nsec, rows_out, l1p) -> (rows_out, nsec*l1p), sector-major
         out = jnp.moveaxis(out, 0, 1).reshape(rows_out, nsec * l1p)
         return out, lam.reshape(-1)
@@ -587,13 +634,13 @@ def _sector_factory_batched(m: int, n: int, nsec: int, mlp: int, nrp: int,
     rows_out = n if transpose else m
     body = _bucketed_body(l1p, transpose, rows_out, eigh_impl, orth_impl)
     vpre = jax.vmap(body.pre, in_axes=(None, 0, 0, 0, 0, 0, None))
-    vpost = jax.vmap(body.post, in_axes=(0, 0, 0, 0, 0, 0, 0, 0))
+    vpost = jax.vmap(body.post, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0))
 
     @jax.jit
     def run(cmat, gr, gc, mask_r, mask_c, l1_real, key):
-        q_b, g_b = vpre(cmat, gr, gc, mask_r, mask_c, l1_real, key)
+        q_b, g_b, d_b = vpre(cmat, gr, gc, mask_r, mask_c, l1_real, key)
         lam_b, w_b = _eigh_batched(g_b, eigh_impl)
-        out, lam = vpost(gr, gc, mask_r, mask_c, l1_real, q_b, lam_b, w_b)
+        out, lam = vpost(gr, gc, mask_r, mask_c, l1_real, q_b, lam_b, w_b, d_b)
         # (nsec, rows_out, l1p) -> (rows_out, nsec*l1p), sector-major
         out = jnp.moveaxis(out, 0, 1).reshape(rows_out, nsec * l1p)
         return out, lam.reshape(-1)
@@ -802,7 +849,7 @@ def verify_update(ms_mat, coef_array, sigma, sidx, m, n, system, label="",
 
 def candidates(coef_array, qnbigl, qnbigr, qntot, system: str, cap: int,
                want_complement: bool, fetch: bool = True,
-               want_v: bool = False):
+               want_v: bool = False, return_layout: bool = False):
     """Compute truncation candidates on device.
 
     Returns ``(parts, sigma, qn_list)`` where ``parts`` is a list of device
@@ -816,6 +863,12 @@ def candidates(coef_array, qnbigl, qnbigr, qntot, system: str, cap: int,
     round-robin across the mesh (results are copied back to the source
     device for the gather step) — bit-identical to the single-device path
     because each sector's kernel and PRNG key are unchanged.
+
+    With ``return_layout=True`` a fourth element describes the candidate
+    slot layout when a one-dispatch batched kernel produced them:
+    ``(nsec_padded, l1p)`` — sector-major, ``l1p`` slots per sector, each
+    sector's slots sorted by descending lambda — or ``None`` for the
+    per-sector dispatch path (heterogeneous slot counts).
     """
     import jax
     import jax.numpy as jnp
@@ -865,6 +918,16 @@ def candidates(coef_array, qnbigl, qnbigr, qntot, system: str, cap: int,
         if pallas_eigh_enabled():
             eigh_impl_default = "jacobi"
 
+    def pick_eigh(l1p: int) -> str:
+        """Eigensolver per sketch width.  XLA's QDWH eigh is fast at
+        lane-aligned sizes and reports the structural zero block EXACTLY
+        (deterministic slot validity); at unaligned sizes it is
+        catastrophically slow (157 ms vs 7 ms at 256^2 measured on v5e), so
+        the Pallas Jacobi kernel takes those."""
+        if eigh_impl_default == "jacobi" and l1p % 128 != 0:
+            return "jacobi"
+        return "xla"
+
     def align_l1p(l1p: int) -> int:
         """Round the sketch width down to a 128-multiple when the loss fits
         inside the oversampling margin and selection can still fill ``cap``
@@ -911,15 +974,19 @@ def candidates(coef_array, qnbigl, qnbigr, qntot, system: str, cap: int,
                          else tuple(np.asarray(qntot) - nl))
                 qn_list.extend([label] * l1p)
             run = _sector_factory_masked(m, n, nsec_p, l1p, transpose,
-                                         str(cmat.dtype), eigh_impl_default,
+                                         str(cmat.dtype), pick_eigh(l1p),
                                          _orth_impl())
             out, lam_dev = run(cmat, _device_idx(mask_r_b),
                                _device_idx(mask_c_b), _device_idx(l1_b),
                                key_base)
             parts = [out]
+            layout = (nsec_p, l1p)
             if not fetch:
-                return parts, lam_dev, qn_list
-            return parts, lam_to_sigma(lam_dev), qn_list
+                return ((parts, lam_dev, qn_list, layout) if return_layout
+                        else (parts, lam_dev, qn_list))
+            sig = lam_to_sigma(lam_dev)
+            return ((parts, sig, qn_list, layout) if return_layout
+                    else (parts, sig, qn_list))
         if len(secs) > 1:
             mlp = min(-(-max(s[3] for s in secs) // bq) * bq, m)
             nrp = min(-(-max(s[4] for s in secs) // bq) * bq, n)
@@ -950,14 +1017,18 @@ def candidates(coef_array, qnbigl, qnbigr, qntot, system: str, cap: int,
                 qn_list.extend([label] * l1p)
             run = _sector_factory_batched(m, n, nsec, mlp, nrp, l1p,
                                           transpose, str(cmat.dtype),
-                                          eigh_impl_default, _orth_impl())
+                                          pick_eigh(l1p), _orth_impl())
             out, lam_dev = run(cmat, _device_idx(gr_b), _device_idx(gc_b),
                                _device_idx(mask_r_b), _device_idx(mask_c_b),
                                _device_idx(l1_b), key_base)
             parts = [out]
+            layout = (nsec, l1p)
             if not fetch:
-                return parts, lam_dev, qn_list
-            return parts, lam_to_sigma(lam_dev), qn_list
+                return ((parts, lam_dev, qn_list, layout) if return_layout
+                        else (parts, lam_dev, qn_list))
+            sig = lam_to_sigma(lam_dev)
+            return ((parts, sig, qn_list, layout) if return_layout
+                    else (parts, sig, qn_list))
 
     parts = []
     parts_v = []
@@ -971,7 +1042,7 @@ def candidates(coef_array, qnbigl, qnbigr, qntot, system: str, cap: int,
         l2 = min(max(rows - l1, 0), cap) if want_complement else 0
         if l1 + l2 == 0:
             continue
-        eigh_impl = eigh_impl_default
+        eigh_impl = pick_eigh(l1)
         dev = None
         cmat_s, key_s = cmat, key_base
         if sector_devs is not None:
@@ -1025,10 +1096,14 @@ def candidates(coef_array, qnbigl, qnbigr, qntot, system: str, cap: int,
     lam_dev = jnp.concatenate(lams) if len(lams) > 1 else lams[0]
     if not fetch:
         ret = (parts, lam_dev, qn_list)
+        if return_layout:
+            ret = ret + (None,)
         return ret + (parts_v,) if want_v else ret
     # ONE small synchronous fetch: all candidate spectra at once
     sigma = lam_to_sigma(lam_dev)
     ret = (parts, sigma, qn_list)
+    if return_layout:
+        ret = ret + (None,)
     return ret + (parts_v,) if want_v else ret
 
 
