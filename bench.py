@@ -74,7 +74,7 @@ def bench_tpu():
     # metric is the steady-state sweep time, measured only after the
     # compile transient has demonstrably ended.
     warm = [[M, 0.4], [M, 0.2], [M, 0]]
-    max_stable_warm = 10
+    max_stable_warm = 14
 
     from renormalizer_tpu.mps.gs import single_sweep
     from renormalizer_tpu.mps.lib import Environ
@@ -129,19 +129,33 @@ def bench_tpu():
     for m, percent in warm:
         sweep(isweep, m, percent, "warm")
         isweep += 1
-    # stabilization: sweep until the qn-sector drift stops producing new
-    # executables (zero new jit traces), i.e. the compile transient is over
+    # stabilization: sweep until (a) the qn-sector drift stops producing
+    # new executables (zero new jit traces) AND (b) the sweep wall time has
+    # stopped improving (the async truncation plans take a few extra sweeps
+    # to arm in both directions after the shapes settle)
+    best = float("inf")
+    since_best = 0
     for _ in range(max_stable_warm):
         before = trace_count()
-        sweep(isweep, M, 0, "stabilize")
+        dt = sweep(isweep, M, 0, "stabilize")
         isweep += 1
-        if trace_count() == before:
+        if dt < 0.9 * best:
+            best = min(best, dt)
+            since_best = 0
+        else:
+            since_best += 1
+        if trace_count() == before and since_best >= 2:
             break
     times = []
     for _ in range(NSWEEPS_MEASURE):
         times.append(sweep(isweep, M, 0, "measure"))
         isweep += 1
-    return sum(times) / len(times), energy, model
+    # median: the tunneled relay occasionally injects a multi-second stall
+    # into one sweep (observed: 0.4 s steady state with a single 14 s
+    # outlier); the median reports the reproducible steady-state cost and
+    # every individual sweep time is published alongside it
+    med = sorted(times)[len(times) // 2]
+    return med, energy, model, times
 
 
 def _tdvp_model_mps(renormalizer_pkg):
@@ -392,8 +406,10 @@ def _sub(name):
 
 @_sub("dmrg")
 def _sub_dmrg():
-    value, energy, _ = bench_tpu()
-    return {"s_per_sweep": value, "energy": energy}
+    value, energy, _, times = bench_tpu()
+    return {"s_per_sweep": value, "energy": energy,
+            "sweep_times_s": [round(t, 3) for t in times],
+            "sweep_mean_s": round(sum(times) / len(times), 3)}
 
 
 @_sub("matvec")
@@ -490,7 +506,8 @@ def main():
         extra["tdvp_vs_baseline"] = round(
             acc["tdvp_ps_steps_per_s"] / acc["tdvp_ref_steps_per_s"], 2)
     result = {
-        "metric": f"DMRG 2-site sweep wall time @ M={M}, {NMOLS}-mol Holstein "
+        "metric": f"DMRG 2-site sweep wall time (median of {NSWEEPS_MEASURE} steady-state "
+                  f"sweeps; all sweep times in extra) @ M={M}, {NMOLS}-mol Holstein "
                   f"({_NSITES} sites), lower is better; vs_baseline = speedup over "
                   "reference NumPy on host CPU (1 thread, see ref_bench.json)",
         "value": round(value, 4) if value else None,

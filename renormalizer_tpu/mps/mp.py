@@ -741,6 +741,14 @@ class MatrixProduct:
         m_trunc = self.compress_config.compute_m_trunc(
             sigma[sigma >= 0], bond_idx, self.to_right, total_norm=total_norm)
         sidx = select_indices(sigma, qn_list, m_trunc, percent)
+        # canonical slot order (sector-major, lambda-descending within each
+        # sector): the plan-constrained static path emits this order, and
+        # the new bond's qn ORDER feeds the neighboring site's qn digest —
+        # if the two paths ordered the basis differently, every static
+        # visit would flip the neighbor's pattern and force it back to a
+        # sync visit, alternating forever (measured as whole sweeps
+        # flip-flopping between 1 s and 25 s)
+        sidx = sorted(sidx)
         if use_async and layout is not None:
             # Arm the static path for the next visit IF this selection is
             # exactly "top k_i of each sector" (it is whenever no sentinel
