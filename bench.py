@@ -285,13 +285,16 @@ def bench_matvec(model):
         cost, flops = {}, None
     bytes_accessed = float(cost.get("bytes accessed", 0.0)) or None
     out = fn(c, *operands)
-    out.block_until_ready()
+    # block_until_ready does not truly synchronize over the axon relay;
+    # fetching one element does (same endpoint discipline as the kernel
+    # microbenches) — the 50 chained iterations amortize that single RTT
+    np.asarray(out.ravel()[:1])
     niter = 50
     t0 = time.perf_counter()
     x = c
     for _ in range(niter):
         x = fn(x, *operands)
-    x.block_until_ready()
+    np.asarray(x.ravel()[:1])
     dt_s = (time.perf_counter() - t0) / niter
     res = {"matvec_ms": round(dt_s * 1e3, 3)}
     kind = jax.devices()[0].device_kind

@@ -45,7 +45,9 @@ def split_complex_enabled() -> bool:
 
 def split(x) -> jnp.ndarray:
     """Complex array -> real array with leading component axis of size 2."""
-    x = jnp.asarray(x)
+    from renormalizer_tpu.ops.contract import safe_asarray
+
+    x = safe_asarray(x)
     return jnp.stack([x.real.astype(_real_of(x.dtype)),
                       x.imag.astype(_real_of(x.dtype))])
 

@@ -964,16 +964,22 @@ class MatrixProduct:
         """Overlap <self*|other> with both taken as-is
         (reference ``mp.py:933-956``)."""
         assert len(self) == len(other)
+        from renormalizer_tpu.ops.contract import einsum
+
         e0 = jnp.eye(1, 1, dtype=backend.real_dtype)
         for mt1, mt2 in zip(self, other):
             e0 = tensordot1(e0, mt2)
+            # einsum (not raw tensordot): the funnel lowers complex
+            # contractions to real arithmetic for the tunneled TPU
             if mt1.ndim == 3:
-                e0 = jnp.tensordot(e0, mt1, axes=([0, 1], [0, 1])).T
+                e0 = einsum("abc,abd->dc", e0, mt1)
             elif mt1.ndim == 4:
-                e0 = jnp.tensordot(e0, mt1, axes=([0, 1, 2], [0, 1, 2])).T
+                e0 = einsum("abcd,abce->ed", e0, mt1)
             else:
                 raise AssertionError
-        return complex(np.asarray(e0)[0, 0])
+        from renormalizer_tpu.ops.contract import asnumpy
+
+        return complex(asnumpy(e0)[0, 0])
 
     def dot_ob(self, other: "MatrixProduct"):
         """Open-boundary dot with bond dimension > 1 at the edges
@@ -1011,12 +1017,17 @@ class MatrixProduct:
         return new_mp
 
     def to_complex(self, inplace=False):
+        from renormalizer_tpu.ops.contract import safe_asarray
+
         new_mp = self if inplace else self.metacopy()
         new_mp.dtype = backend.complex_dtype
         for i, mt in enumerate(self):
             if mt is None:
                 continue
-            new_mp[i] = jnp.asarray(mt, dtype=backend.complex_dtype)
+            # upload first (split transfer for complex hosts arrays), THEN
+            # convert on device: converting a host array to complex and
+            # uploading it poisons the buffer on the axon relay
+            new_mp[i] = safe_asarray(mt).astype(backend.complex_dtype)
         return new_mp
 
     def distance(self, other) -> float:

@@ -84,8 +84,12 @@ def _fetch_masked(coef_array, localqnl, localqnr, qntot, m, n):
 
     A masked variant (gather only the in-sector entries on device) was
     benchmarked neutral at steady state and adds per-mask compile spikes
-    whenever sector patterns shift, so the plain bulk transfer is used."""
-    return np.asarray(coef_array).reshape(m, n)
+    whenever sector patterns shift, so the plain bulk transfer is used.
+    Routed through :func:`asnumpy` because the axon relay cannot transfer
+    complex arrays directly (split into real/imag on device)."""
+    from renormalizer_tpu.ops.contract import asnumpy
+
+    return asnumpy(coef_array).reshape(m, n)
 
 
 def _sector_indices(localqnl, localqnr, qntot):

@@ -26,6 +26,89 @@ def _einsum_jit(formula: str, n: int):
     return fn
 
 
+@lru_cache(maxsize=256)
+def _einsum_split_jit(formula: str, n: int):
+    """Jitted einsum that lowers complex contractions to a single REAL
+    einsum in the split (2x2-representation) layout.
+
+    The tunneled TPU's compiler rejects any complex ``dot_general``
+    (``UNIMPLEMENTED``), while elementwise complex ops work — so each
+    complex operand travels as its real 2x2 matrix representation
+    ``[[Re, -Im], [Im, Re]]`` over a fresh chain-axis pair; the chain is
+    closed by a constant basis vector ``e0 = (1, 0)`` and the output's
+    leading chain axis becomes the (Re, Im) component pair.  Because the
+    2x2 representations of complex scalars commute, chaining the operands
+    in their given order is always correct regardless of how opt_einsum
+    schedules the contraction.  Real operands pass through untouched.
+    Cost: at most 4x the real FLOPs of the native complex contraction."""
+    import string
+
+    ins, out = formula.split("->")
+    terms = ins.split(",")
+    assert len(terms) == n
+    used = set(formula) - {",", "-", ">"}
+    fresh = iter(c for c in string.ascii_letters if c not in used)
+
+    letters = list(fresh)
+
+    def build(complex_flags):
+        links = list(letters[: sum(complex_flags) + 1])
+        new_terms = []
+        k = 0
+        for term, is_c in zip(terms, complex_flags):
+            if is_c:
+                new_terms.append(links[k] + links[k + 1] + term)
+                k += 1
+            else:
+                new_terms.append(term)
+        new_terms.append(links[-1])  # the closing basis vector e0
+        return ",".join(new_terms) + "->" + links[0] + out
+
+    @jax.jit
+    def fn(*arrays):
+        from renormalizer_tpu.lib.split_complex import mat2
+
+        flags = tuple(bool(jnp.issubdtype(a.dtype, jnp.complexfloating))
+                      for a in arrays)
+        if not any(flags):
+            return jnp.einsum(formula, *arrays, optimize="optimal")
+        ops = [mat2(a) if is_c else a for a, is_c in zip(arrays, flags)]
+        rdt = ops[0].dtype if flags[0] else jnp.finfo(
+            jnp.result_type(*[a.dtype for a in arrays])).dtype
+        e0 = jnp.asarray([1.0, 0.0], dtype=rdt)
+        f2 = build(flags)
+        out2 = jnp.einsum(f2, *ops, e0, optimize="optimal")
+        return jax.lax.complex(out2[0], out2[1])
+
+    return fn
+
+
+def safe_asarray(x):
+    """Host->device upload that survives the axon relay's missing complex
+    transfer support: a complex NumPy array is uploaded as two real
+    transfers and combined on device (the relay poisons the buffer of a
+    direct complex H2D copy, surfacing UNIMPLEMENTED at the first use)."""
+    import numpy as np
+
+    if isinstance(x, np.ndarray) and np.iscomplexobj(x):
+        from renormalizer_tpu.lib.split_complex import split_complex_enabled
+
+        if split_complex_enabled() and jax.default_backend() != "cpu":
+            re = jnp.asarray(np.ascontiguousarray(x.real))
+            im = jnp.asarray(np.ascontiguousarray(x.imag))
+            return _complex_combine(re.shape, str(re.dtype))(re, im)
+    return jnp.asarray(x)
+
+
+@lru_cache(maxsize=512)
+def _complex_combine(shape, dtype_name):
+    @jax.jit
+    def run(re, im):
+        return jax.lax.complex(re, im)
+
+    return run
+
+
 def _is_oom(exc: Exception) -> bool:
     msg = str(exc)
     return "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg
@@ -64,8 +147,26 @@ def einsum(formula: str, *arrays):
     but crashes the tunneled-TPU compiler (round-2 ``ElementIsComplex``
     SIGABRT), and environment updates mix a complex state with a real MPO
     whenever real-time evolution runs."""
-    arrays = [jnp.asarray(a) for a in arrays]
+    arrays = [safe_asarray(a) for a in arrays]
     if any(jnp.issubdtype(a.dtype, jnp.complexfloating) for a in arrays):
+        from renormalizer_tpu.lib.split_complex import split_complex_enabled
+
+        if split_complex_enabled():
+            # complex dot_general is UNIMPLEMENTED on the tunneled TPU;
+            # lower the whole contraction to ONE real einsum in the 2x2
+            # representation (complex reps commute, so any operand order
+            # chains correctly).  Real operands must NOT be promoted to
+            # complex here: even the eager astype would compile a complex
+            # convert op on the relay.
+            real_common = jnp.finfo(
+                jnp.result_type(*[a.dtype for a in arrays])).dtype
+            arrays = [
+                a if jnp.issubdtype(a.dtype, jnp.complexfloating)
+                else a.astype(real_common)
+                for a in arrays
+            ]
+            arrays = _harmonize_devices(arrays)
+            return _einsum_split_jit(formula, len(arrays))(*arrays)
         common = jnp.result_type(*[a.dtype for a in arrays])
         arrays = [a.astype(common) for a in arrays]
     arrays = _harmonize_devices(arrays)
@@ -305,11 +406,47 @@ def _tensordot1(a, b):
 
 def tensordot1(a, b):
     """a . b over one axis (the bond-merge workhorse)."""
-    a, b = _harmonize_devices([jnp.asarray(a), jnp.asarray(b)])
+    a, b = _harmonize_devices([safe_asarray(a), safe_asarray(b)])
+    if (jnp.issubdtype(a.dtype, jnp.complexfloating)
+            or jnp.issubdtype(b.dtype, jnp.complexfloating)):
+        from renormalizer_tpu.lib.split_complex import split_complex_enabled
+
+        if split_complex_enabled():
+            # route through the split-lowering einsum (complex dot_general
+            # is UNIMPLEMENTED on the tunneled TPU)
+            import string
+
+            la = string.ascii_lowercase[: a.ndim]
+            lb = la[-1] + string.ascii_uppercase[: b.ndim - 1]
+            return einsum(f"{la},{lb}->{la[:-1]}{lb[1:]}", a, b)
     return _tensordot1(a, b)
 
 
 def asnumpy(x):
+    """Device->host fetch that survives the axon relay's missing complex
+    transfer support: complex device arrays are split into real/imag ON
+    DEVICE and fetched as two real transfers (the relay raises
+    UNIMPLEMENTED on a complex D2H copy)."""
     import numpy as np
 
+    import jax
+    import jax.numpy as jnp
+
+    if (isinstance(x, jax.Array)
+            and jnp.issubdtype(x.dtype, jnp.complexfloating)
+            and jax.default_backend() != "cpu"):
+        re, im = _split_fetch(x.shape, str(x.dtype))(x)
+        return np.asarray(re) + 1j * np.asarray(im)
     return np.asarray(x)
+
+
+@lru_cache(maxsize=512)
+def _split_fetch(shape, dtype_name):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(x):
+        return jnp.real(x), jnp.imag(x)
+
+    return run
