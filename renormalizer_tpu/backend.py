@@ -153,7 +153,69 @@ class Backend:
         jax.effects_barrier()
 
 
+def _install_complex_fetch_shim():
+    """Route every complex device->host fetch through an on-device
+    real/imag split plus two REAL transfers.
+
+    Measured relay behavior (round-4 probes): complex *compute* on the
+    tunneled TPU works (einsum/QR/eigh/SVD all pass) but any complex
+    H2D/D2H *transfer* raises UNIMPLEMENTED — and because transfers are
+    async, one poisoned buffer fails every later dispatch that touches it.
+    All host materialization (``np.asarray``, ``complex()``, ``.item()``,
+    printing) funnels through ``ArrayImpl._value``, so patching that one
+    property makes every fetch path safe without auditing each call site.
+    The upload twin lives in ``ops.contract.safe_asarray``."""
+    import jax
+    from jax._src import array as jarray
+
+    if getattr(jarray, "_reno_complex_fetch_shim", False):
+        return
+    prop = jarray.ArrayImpl.__dict__.get("_value")
+    if prop is None or prop.fget is None:  # pragma: no cover - jax internals moved
+        logger.warning("complex fetch shim: ArrayImpl._value not found")
+        return
+    orig_fget = prop.fget
+
+    from functools import lru_cache
+
+    @lru_cache(maxsize=256)
+    def split_fetch(shape, dtype_name):
+        import jax.numpy as jnp
+
+        @jax.jit
+        def run(x):
+            return jnp.real(x), jnp.imag(x)
+
+        return run
+
+    def fget(self):
+        if (self._npy_value is None
+                and np.issubdtype(self.dtype, np.complexfloating)):
+            try:
+                re, im = split_fetch(self.shape, str(self.dtype))(self)
+                # np.asarray() around the sum: a 0-d result degrades to a
+                # numpy scalar, which has no writeable flag
+                val = np.asarray(np.asarray(re) + 1j * np.asarray(im))
+                val.flags.writeable = False
+                try:
+                    self._npy_value = val
+                except Exception:  # C++ ArrayImpl may reject the cache slot
+                    pass
+                return val
+            except Exception as e:  # pragma: no cover - native-path fallback
+                logger.warning("complex fetch shim failed (%s: %s); native "
+                               "transfer will likely fail too",
+                               type(e).__name__, e)
+        return orig_fget(self)
+
+    jarray.ArrayImpl._value = property(fget)
+    jarray._reno_complex_fetch_shim = True
+
+
 backend = Backend()
 
 OE_BACKEND = "jax"
 USE_TPU = backend.jax.default_backend() == "tpu"
+
+if backend.is_accelerator:
+    _install_complex_fetch_shim()

@@ -65,6 +65,10 @@ def _davidson_core(hop, x0, hdiag, tol, max_cycle, max_space):
     N = x0.shape[0]
     S = min(max_space, N)
     dtype = x0.dtype
+    # a wider-precision hdiag (e.g. f64 diagonal with an f32 trial vector)
+    # would promote the preconditioned direction and turn the V.at[].set
+    # scatter into an unsafe downcast (FutureWarning -> error in future jax)
+    hdiag = jnp.asarray(hdiag).astype(jnp.real(x0).dtype)
 
     def body(st: _DavidsonState) -> _DavidsonState:
         # subspace matrix with masked padding.  The padding diagonal must be
@@ -130,8 +134,10 @@ def davidson(
 
     Returns ``(theta, x, niter)`` as device arrays.  ``x0`` and ``hdiag``
     are flat device vectors in the qn-masked subspace."""
+    from renormalizer_tpu.ops.contract import safe_asarray
+
     return _davidson_core(
-        hop, jnp.asarray(x0), jnp.asarray(hdiag), tol, max_cycle, max_space
+        hop, safe_asarray(x0), safe_asarray(hdiag), tol, max_cycle, max_space
     )
 
 
@@ -212,6 +218,10 @@ def davidson_fused(formula, operands, cshape, x0_full, hdiag_full, mask,
     operand_shapes = (
         tuple(tuple(np.shape(o)) for o in operands) if mesh is not None else None
     )
+    if mesh is not None:
+        from renormalizer_tpu.parallel import hop as _phop
+
+        _phop.record_engagement(mesh, formula, operand_shapes)
     fn = _davidson_factory(formula, tuple(cshape), float(inverse), float(tol),
                            int(max_cycle), int(max_space), mesh, operand_shapes,
                            diag_mode)
@@ -262,9 +272,12 @@ def davidson_multiroot(
     ``renormalizer/mps/gs.py:536-538``).  Returns (thetas, X, niter) with
     ``X`` of shape (nroots, N).
     """
-    X0 = jnp.stack([jnp.asarray(x) for x in x0_list])
+    from renormalizer_tpu.ops.contract import safe_asarray
+
+    X0 = jnp.stack([safe_asarray(x) for x in x0_list])
     N = X0.shape[1]
-    hdiag = jnp.asarray(hdiag)
+    # match hdiag to the trial vectors' real dtype (see _davidson_core)
+    hdiag = jnp.asarray(hdiag).astype(jnp.real(X0).dtype)
     if max_space is None:
         max_space = max(4 * nroots, 12)
     S = min(max_space, N)
@@ -275,7 +288,9 @@ def davidson_multiroot(
         # at chain edges): new directions would overwrite the just-restarted
         # Ritz vectors.  Solve densely instead — N is small here by
         # construction.
-        eye = jnp.eye(N, dtype=dtype)
+        from renormalizer_tpu.ops.contract import safe_eye
+
+        eye = safe_eye(N, dtype=dtype)
         ham = jax.vmap(hop)(eye).T
         # out-of-sector entries (flagged by the huge preconditioner diagonal)
         # must not produce spurious zero modes
@@ -465,9 +480,14 @@ def expm_krylov(hop: Callable, dt, v0, max_m: int = 30, tol: float = 1e-12):
 
     ``dt`` may be complex (real-time evolution uses ``-1j*tau``).
     Returns ``(w, m_used)`` as device arrays."""
-    v0 = jnp.asarray(v0)
+    from renormalizer_tpu.ops.contract import safe_asarray
+
+    v0 = safe_asarray(v0)
     m_max = int(min(max_m, v0.shape[0]))
-    return _lanczos_expm(hop, jnp.asarray(dt), v0, m_max)
+    if not isinstance(dt, jax.Array):
+        dt = complex(dt)
+        dt = dt.real if dt.imag == 0 else dt
+    return _lanczos_expm(hop, safe_asarray(dt), v0, m_max)
 
 
 @lru_cache(maxsize=512)
@@ -509,9 +529,10 @@ def expm_krylov_fused(formula, operands, dt, c0, max_m: int = 30):
     With a global mesh installed (``parallel.set_global_mesh``) the matvec
     is bond-tensor-parallel when the bond dimensions divide the mesh."""
     from renormalizer_tpu.parallel.mesh import get_global_mesh
+    from renormalizer_tpu.ops.contract import safe_asarray
 
-    c0 = jnp.asarray(c0)
-    operands = [jnp.asarray(o) for o in operands]
+    c0 = safe_asarray(c0)
+    operands = [safe_asarray(o) for o in operands]
     is_cplx = jnp.issubdtype(c0.dtype, jnp.complexfloating) or any(
         jnp.issubdtype(o.dtype, jnp.complexfloating) for o in operands
     )
@@ -529,10 +550,21 @@ def expm_krylov_fused(formula, operands, dt, c0, max_m: int = 30):
     operand_shapes = (
         tuple(tuple(np.shape(o)) for o in operands) if mesh is not None else None
     )
+    if mesh is not None:
+        from renormalizer_tpu.parallel import hop as _phop
+
+        _phop.record_engagement(mesh, formula, operand_shapes)
     fn = _expm_factory(formula, tuple(c0.shape), m, mesh, operand_shapes)
     reshard = _mesh_replicator(mesh)
-    return fn(jnp.asarray(dt), reshard(c0),
-              *[reshard(jnp.asarray(o)) for o in operands])
+    # dt may be a python complex scalar (-i*dt for real-time propagation):
+    # safe_asarray uploads it as two real scalars + on-device combine.  A
+    # zero-imag scalar is kept real so imaginary-time propagation of real
+    # states stays in real arithmetic.
+    if not isinstance(dt, jax.Array):
+        dt = complex(dt)
+        dt = dt.real if dt.imag == 0 else dt
+    return fn(safe_asarray(dt), reshard(c0),
+              *[reshard(o) for o in operands])
 
 
 # ---------------------------------------------------------------------------
@@ -605,8 +637,10 @@ def solve_ivp(fun, t_span, y0, rtol=1e-3, atol=1e-6, max_steps=100000,
     attempted step.  Error control is per-component ``atol + rtol*|y|`` with
     SciPy's initial-step heuristic and step-factor clamps, so accepted-step
     counts track the reference's vendored ``solve_ivp``."""
+    from renormalizer_tpu.ops.contract import safe_asarray
+
     t0, t1 = t_span
-    y = jnp.asarray(y0)
+    y = safe_asarray(y0)
     direction = np.sign(t1 - t0) if t1 != t0 else 1.0
     span = abs(t1 - t0)
     if span == 0:
@@ -615,7 +649,7 @@ def solve_ivp(fun, t_span, y0, rtol=1e-3, atol=1e-6, max_steps=100000,
     if first_step is not None:
         h = first_step
     else:
-        f0 = jnp.asarray(fun(t0, y))
+        f0 = safe_asarray(fun(t0, y))
         h = _select_initial_step(fun, t0, y, f0, direction, rtol, atol)
         nfev += 2
     h = min(h, span, max_step)
@@ -630,7 +664,7 @@ def solve_ivp(fun, t_span, y0, rtol=1e-3, atol=1e-6, max_steps=100000,
             for j in range(i):
                 if _FB_A[i, j] != 0:
                     yi = yi + dt * _FB_A[i, j] * ks[j]
-            ks.append(jnp.asarray(fun(t + _FB_C[i] * dt, yi)))
+            ks.append(safe_asarray(fun(t + _FB_C[i] * dt, yi)))
             nfev += 1
         y5, err_dev = _rk_step_finish(y, jnp.stack(ks), dt, atol, rtol)
         err = float(err_dev)  # the single host sync per attempted step

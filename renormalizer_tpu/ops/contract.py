@@ -83,20 +83,40 @@ def _einsum_split_jit(formula: str, n: int):
     return fn
 
 
-def safe_asarray(x):
+def safe_asarray(x, dtype=None):
     """Host->device upload that survives the axon relay's missing complex
-    transfer support: a complex NumPy array is uploaded as two real
-    transfers and combined on device (the relay poisons the buffer of a
-    direct complex H2D copy, surfacing UNIMPLEMENTED at the first use)."""
+    transfer support: complex host data is uploaded as two real transfers
+    and combined on device with ``lax.complex``.
+
+    Measured relay behavior (round-4 probes): complex *compute* on device is
+    fully supported (einsum/dot_general/QR/eigh/SVD all pass), but any
+    complex H2D or D2H *transfer* raises UNIMPLEMENTED — and because uploads
+    are async, a poisoned buffer surfaces the error only at its first
+    consumer, many dispatches later.  So the split-transfer discipline is
+    UNCONDITIONAL on accelerator backends (it is cheap: two real copies plus
+    one elementwise combine), independent of ``RENO_SPLIT_COMPLEX`` which
+    now only controls whether *compute* also avoids complex dtypes.
+
+    Handles python/numpy complex scalars and host-side dtype upcasts
+    (``dtype=complex`` with real input) through the same split path; a
+    ``jax.Array`` input is cast on device (convert ops are supported)."""
     import numpy as np
 
-    if isinstance(x, np.ndarray) and np.iscomplexobj(x):
-        from renormalizer_tpu.lib.split_complex import split_complex_enabled
-
-        if split_complex_enabled() and jax.default_backend() != "cpu":
-            re = jnp.asarray(np.ascontiguousarray(x.real))
-            im = jnp.asarray(np.ascontiguousarray(x.imag))
-            return _complex_combine(re.shape, str(re.dtype))(re, im)
+    if isinstance(x, jax.Array):
+        if dtype is not None and x.dtype != jnp.dtype(dtype):
+            return x.astype(dtype)
+        return x
+    want_complex = dtype is not None and jnp.issubdtype(
+        jnp.dtype(dtype), jnp.complexfloating)
+    is_complex_host = isinstance(x, complex) or (
+        isinstance(x, (np.ndarray, np.generic)) and np.iscomplexobj(x))
+    if (want_complex or is_complex_host) and jax.default_backend() != "cpu":
+        arr = np.asarray(x, dtype=dtype) if dtype is not None else np.asarray(x)
+        re = jnp.asarray(np.ascontiguousarray(arr.real))
+        im = jnp.asarray(np.ascontiguousarray(arr.imag))
+        return _complex_combine(re.shape, str(re.dtype))(re, im)
+    if dtype is not None:
+        return jnp.asarray(x, dtype=dtype)
     return jnp.asarray(x)
 
 
@@ -107,6 +127,29 @@ def _complex_combine(shape, dtype_name):
         return jax.lax.complex(re, im)
 
     return run
+
+
+def safe_eye(n, dtype=None):
+    """Eager identity matrix that never uploads a complex constant: a
+    complex-dtype ``jnp.eye`` outside jit transfers complex literals (the
+    relay rejects the transfer and poisons the buffer); build real and
+    convert on device instead."""
+    if dtype is not None and jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
+        real = jnp.eye(n, dtype=jnp.finfo(jnp.dtype(dtype)).dtype)
+        return real.astype(dtype)
+    return jnp.eye(n, dtype=dtype)
+
+
+def safe_filled(shape, value, dtype=None):
+    """Eager ``jnp.full`` with the same complex-constant discipline."""
+    if dtype is not None and jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
+        rdt = jnp.finfo(jnp.dtype(dtype)).dtype
+        value = complex(value)
+        re = jnp.full(shape, value.real, dtype=rdt)
+        im = jnp.full(shape, value.imag, dtype=rdt)
+        return _complex_combine(tuple(shape) if hasattr(shape, "__len__")
+                                else (shape,), str(rdt))(re, im)
+    return jnp.full(shape, value, dtype=dtype)
 
 
 def _is_oom(exc: Exception) -> bool:
