@@ -27,7 +27,7 @@ from renormalizer_tpu.model import Model
 from renormalizer_tpu.mps import svd_qn, trunc_device
 from renormalizer_tpu.mps.svd_qn import add_outer, get_qn_mask
 from renormalizer_tpu.mps.lib import Environ, select_basis
-from renormalizer_tpu.ops.contract import hop_expr, tensordot1
+from renormalizer_tpu.ops.contract import hop_expr, safe_asarray, tensordot1
 from renormalizer_tpu.utils import (
     CompressConfig,
     CompressCriteria,
@@ -96,6 +96,11 @@ class MatrixProduct:
     # --- IO ----------------------------------------------------------------
     @classmethod
     def load(cls, model: Model, fname: str):
+        """Load an npz dump.  Accepts every reference protocol version
+        0.1-0.4 (``renormalizer/mps/mps.py:366-385``) so reference-produced
+        files work directly as oracles: newer dumps carry per-bond
+        ``subqn_{i}`` arrays, older ones only the object-array ``qn``; v0.1
+        stored the sweep direction under ``left``."""
         npload = np.load(fname, allow_pickle=True)
         mp = cls()
         mp.model = model
@@ -104,13 +109,22 @@ class MatrixProduct:
             mt = npload[f"mt_{i}"]
             mp.dtype = backend.complex_dtype if np.iscomplexobj(mt) else backend.real_dtype
             mp.append(mt)
-        mp.qn = [
-            np.asarray(npload[f"subqn_{i}"]).astype(int).reshape(len(npload[f"subqn_{i}"]), -1)
-            for i in range(nsites + 1)
-        ]
+        if "subqn_0" in npload:
+            mp.qn = [
+                np.asarray(npload[f"subqn_{i}"]).astype(int).reshape(
+                    len(npload[f"subqn_{i}"]), -1)
+                for i in range(nsites + 1)
+            ]
+        else:
+            mp.qn = [np.atleast_2d(np.asarray(q).astype(int)).reshape(-1, np.atleast_1d(npload["qntot"]).size)
+                     for q in npload["qn"]]
         mp.qnidx = int(npload["qnidx"])
         mp.qntot = np.atleast_1d(npload["qntot"].astype(int))
-        mp.to_right = bool(npload["to_right"])
+        version = str(npload["version"]) if "version" in npload else "0.4"
+        if version == "0.1":
+            mp.to_right = bool(npload["left"])
+        else:
+            mp.to_right = bool(npload["to_right"])
         return mp
 
     def dump(self, fname, other_attrs=None):
@@ -676,8 +690,11 @@ class MatrixProduct:
         counts = None
         if use_async:
             plan = self._trunc_plans.get(plan_key)
+            nvisit = plan[4] if (plan is not None and len(plan) > 4) else 0
+            revalidate = trunc_device.static_revalidate_interval()
             if (plan is not None and plan[0] == pattern
-                    and plan[2] is not None and plan[3] == layout):
+                    and plan[2] is not None and plan[3] == layout
+                    and not (revalidate and nvisit + 1 >= revalidate)):
                 # Plan-constrained STATIC selection: the batched kernels
                 # emit each sector's candidates in descending-lambda order,
                 # so with the per-sector keep counts frozen by the plan the
@@ -687,16 +704,26 @@ class MatrixProduct:
                 # top states.  This removes the last per-update host sync
                 # (each one costs a full relay RTT, ~34 ms measured).
                 counts = plan[2]
+                nvisit += 1
             elif plan is not None and plan[0] == pattern:
-                # previous visit's spectrum: already copied to the host
+                # previous visit's spectrum: already copied to the host.
+                # Also the periodic revalidation path: every
+                # ``static_revalidate_interval`` static visits the selection
+                # is re-derived from the (one-sweep-stale) spectrum so that
+                # drifting sector weights (fixed-M TDVP, pre-convergence
+                # DMRG) cannot lock in an early cross-sector allocation
+                # forever; the re-arm below restores the static path when
+                # the counts still match a top-k pattern.
                 sigma = trunc_device.lam_to_sigma(plan[1])
+                nvisit = 0
             else:
                 sigma = trunc_device.lam_to_sigma(lam)  # sync once
+                nvisit = 0
             try:
                 lam.copy_to_host_async()
             except Exception:
                 pass
-            self._trunc_plans[plan_key] = (pattern, lam, counts, layout)
+            self._trunc_plans[plan_key] = (pattern, lam, counts, layout, nvisit)
         else:
             sigma = lam
         if counts is not None:
@@ -711,6 +738,16 @@ class MatrixProduct:
             ms_mat, comp_mat = trunc_device.apply_selection(
                 cstruct, parts, sidx, m, n, system
             )
+            if trunc_device.verify_level():
+                # the zero-sync production path must not be the only one
+                # without optional runtime verification; the debug tier
+                # already syncs, so fetching the current spectrum is fine
+                trunc_device.verify_update(
+                    ms_mat, cstruct, trunc_device.lam_to_sigma(lam), sidx,
+                    m, n, system,
+                    label=f"static cidx={cidx} to_right={self.to_right}",
+                    replay=(qnbigl, qnbigr, self.qntot, cap),
+                )
             if self.to_right:
                 ms = ms_mat.reshape(list(qnbigl.shape[:-1]) + [msdim])
                 compms = comp_mat.reshape([msdim] + list(qnbigr.shape[:-1]))
@@ -765,7 +802,8 @@ class MatrixProduct:
                 plan = self._trunc_plans.get(plan_key)
                 if plan is not None:
                     self._trunc_plans[plan_key] = (
-                        plan[0], plan[1], tuple(new_counts), layout)
+                        plan[0], plan[1], tuple(new_counts), layout,
+                        plan[4] if len(plan) > 4 else 0)
         msdim = len(sidx)
         msqn = np.array([qn_list[i] for i in sidx])
         ms_mat, comp_mat = trunc_device.apply_selection(
@@ -1068,7 +1106,7 @@ class MatrixProduct:
 
     # --- container protocol -------------------------------------------------------
     def append(self, array):
-        mt = jnp.asarray(array, dtype=self.dtype)
+        mt = safe_asarray(array, dtype=self.dtype)
         if len(self._mp) != 0:
             assert mt.shape[0] == self._mp[-1].shape[-1]
         self._mp.append(mt)
@@ -1108,7 +1146,7 @@ class MatrixProduct:
                 self._cold_sites.add(i)
 
     def __setitem__(self, key, array):
-        mt = jnp.asarray(array, dtype=self.dtype)
+        mt = safe_asarray(array, dtype=self.dtype)
         if mt.shape[1] != self.pbond_list[key if key >= 0 else key + self.site_num]:
             raise ValueError(
                 "Matrix physical bond dimension does not match system information"

@@ -760,6 +760,19 @@ def async_enabled() -> bool:
     return jax.default_backend() != "cpu"
 
 
+def static_revalidate_interval() -> int:
+    """Every N consecutive plan-constrained static selections, re-derive the
+    per-sector keep counts from the (async-fetched, one-sweep-stale) spectrum
+    so that drifting sector weights cannot lock in an early cross-sector bond
+    allocation forever (fixed-M TDVP evolution; DMRG armed pre-convergence).
+    A revalidation visit costs one relay RTT; the default interval keeps that
+    under ~5%% of steady-state sweep time.  ``RENO_STATIC_REVALIDATE=0``
+    disables revalidation (counts frozen until the qn pattern changes)."""
+    import os
+
+    return int(os.environ.get("RENO_STATIC_REVALIDATE", "24"))
+
+
 def batch_enabled() -> bool:
     """One-dispatch batched sector kernels (``RENO_TRUNC_BATCH``, default
     on): pad every sector of a site update to the update-wide bucket shape
@@ -1042,7 +1055,6 @@ def candidates(coef_array, qnbigl, qnbigr, qntot, system: str, cap: int,
         l2 = min(max(rows - l1, 0), cap) if want_complement else 0
         if l1 + l2 == 0:
             continue
-        eigh_impl = pick_eigh(l1)
         dev = None
         cmat_s, key_s = cmat, key_base
         if sector_devs is not None:
@@ -1056,6 +1068,11 @@ def candidates(coef_array, qnbigl, qnbigr, qntot, system: str, cap: int,
             mlp = min(-(-ml // bq) * bq, m)
             nrp = min(-(-nr // bq) * bq, n)
             l1p = min(min(mlp, nrp), cap + OVERSAMPLE)
+            # route the eigensolver by the PADDED sketch width: the Gram
+            # matrix inside the bucketed kernel is (l1p, l1p), so alignment
+            # must be judged on l1p, not the unpadded l1 (an unaligned l1p
+            # with QDWH is the measured 157ms-vs-7ms catastrophic case)
+            eigh_impl = pick_eigh(l1p)
             gr = np.zeros(mlp, dtype=np.int32)
             gr[:ml] = lset
             gc = np.zeros(nrp, dtype=np.int32)
@@ -1072,6 +1089,7 @@ def candidates(coef_array, qnbigl, qnbigr, qntot, system: str, cap: int,
                       _device_idx(np.int32(l1), dev), key_s)
             l1 = l1p  # qn labels cover every (incl. pad) candidate slot
         else:
+            eigh_impl = pick_eigh(l1)
             run = _sector_factory(m, n, ml, nr, l1, l2, transpose,
                                   str(cmat.dtype), want_v, eigh_impl,
                                   _orth_impl())

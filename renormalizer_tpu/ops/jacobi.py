@@ -41,7 +41,10 @@ def pallas_eigh_enabled() -> bool:
         return flag == "1"
     import jax
 
-    return jax.default_backend() != "cpu"
+    # only backends where the kernel runs natively: on anything else
+    # (e.g. GPU) pallas would fall into interpret mode, which is
+    # correctness-grade but far slower than the XLA eigh it replaces
+    return jax.default_backend() in ("tpu", "axon")
 
 
 def _round_up(x, m):

@@ -21,13 +21,20 @@ fail=0
 failed_mods=()
 for f in tests/test_*.py; do
   echo "=== $f (RENO_DEVICE_TRUNC=1 RENO_ASYNC_TRUNC=1) ==="
-  if ! timeout 3600 python -m pytest "$f" -q -p no:cacheprovider "$@"; then
-    rc=$?
-    # retry once: the jaxlib CPU-compiler segfault is flaky, not a product bug
-    echo "--- $f failed (rc=$rc); retrying once ---"
-    if ! timeout 3600 python -m pytest "$f" -q -p no:cacheprovider "$@"; then
+  timeout 3600 python -m pytest "$f" -q -p no:cacheprovider "$@"
+  st=$?
+  if [ $st -ne 0 ]; then
+    # retry ONLY on segfault/abort-class exits (the flaky jaxlib
+    # CPU-compiler crash, rc 134/139) or timeout (124); a genuine test
+    # failure (rc 1) must not get a second chance to mask product bugs
+    if [ $st -eq 134 ] || [ $st -eq 139 ] || [ $st -eq 124 ]; then
+      echo "--- $f crashed (rc=$st); retrying once ---"
+      timeout 3600 python -m pytest "$f" -q -p no:cacheprovider "$@"
+      st=$?
+    fi
+    if [ $st -ne 0 ]; then
       fail=1
-      failed_mods+=("$f")
+      failed_mods+=("$f (rc=$st)")
     fi
   fi
 done
