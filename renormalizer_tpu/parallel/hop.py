@@ -20,10 +20,37 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-try:  # jax >= 0.4.35
+try:  # jax >= 0.8: the supported public name
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
-except ImportError:  # pragma: no cover
-    from jax.shard_map import shard_map
+
+
+# per-process counters: how many effective-H solver calls actually engaged
+# the bond-tensor-parallel path vs fell back to single-device (divisibility
+# gate).  Read by dryrun_multichip to prove sharding engages at production
+# shapes; reset with ``reset_stats()``.
+STATS = {"sharded": 0, "fallback": 0}
+
+
+def reset_stats():
+    STATS["sharded"] = 0
+    STATS["fallback"] = 0
+
+
+def record_engagement(mesh, formula: str, operand_shapes) -> bool:
+    """Would ``sharded_hop_factory`` shard this call?  Increments STATS."""
+    engaged = False
+    if mesh is not None:
+        axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        ni, nj = axes.get("i", 1), axes.get("j", 1)
+        parsed = _parse_shard_axes(formula) if ni * nj > 1 else None
+        if parsed is not None:
+            _, l_ax, r_ax, *_ = parsed
+            lshape, rshape = operand_shapes[0], operand_shapes[-1]
+            engaged = lshape[l_ax] % ni == 0 and rshape[r_ax] % nj == 0
+    STATS["sharded" if engaged else "fallback"] += 1
+    return engaged
 
 
 @lru_cache(maxsize=128)
@@ -80,7 +107,12 @@ def sharded_hop_factory(mesh, formula: str, operand_shapes, cshape):
         blk = jax.lax.all_gather(blk, "j", axis=out_r, tiled=True)
         return blk.ravel()
 
-    return shard_map(
-        body, mesh=mesh, in_specs=tuple(in_specs), out_specs=P(),
-        check_rep=False,
-    )
+    kwargs = dict(mesh=mesh, in_specs=tuple(in_specs), out_specs=P())
+    import inspect
+
+    params = inspect.signature(shard_map).parameters
+    if "check_vma" in params:  # jax >= 0.8 public API
+        kwargs["check_vma"] = False
+    else:  # pragma: no cover - legacy experimental API
+        kwargs["check_rep"] = False
+    return shard_map(body, **kwargs)
