@@ -38,17 +38,12 @@ class MpDm(Mps, Mpo):
         mpdm.dtype = mps.dtype
         for ms in mps:
             ms = np.asarray(ms)
-            mo = np.zeros((ms.shape[0], ms.shape[1], ms.shape[1], ms.shape[2]), dtype=ms.dtype)
-            for i in range(ms.shape[1]):
-                mo[:, i, i, :] = ms[:, i, :]
-            mpdm.append(mo)
-        mpdm.coeff = mps.coeff
-        mpdm.optimize_config = mps.optimize_config
-        mpdm.evolve_config = mps.evolve_config
+            # |psi><a| diagonal embed: mo[v, p, p', w] = ms[v, p, w] delta_pp'
+            mpdm.append(np.einsum("vpw,pq->vpqw", ms, np.eye(ms.shape[1])))
+        for attr in ("coeff", "optimize_config", "evolve_config",
+                     "qntot", "qnidx", "to_right"):
+            setattr(mpdm, attr, getattr(mps, attr))
         mpdm.qn = [np.asarray(qn).copy() for qn in mps.qn]
-        mpdm.qntot = mps.qntot
-        mpdm.qnidx = mps.qnidx
-        mpdm.to_right = mps.to_right
         mpdm.compress_config = mps.compress_config.copy()
         return mpdm
 

@@ -1,9 +1,9 @@
-"""Shared base for time-domain spectra jobs: collects the dipole-dipole
-autocorrelation function (reference ``renormalizer/spectra/base.py:12-45``).
-NOTICE: this module is deliberately a structural port of the reference
-driver for API parity — it is thin host-side orchestration; all device
-work happens in the engine layers (mps/, ops/, lib/), which are
-TPU-first redesigns.
+"""Common machinery for time-domain spectra jobs.
+
+A spectra job propagates a bra/ket pair and records the dipole-dipole
+autocorrelation :math:`C(t)` each step; the lineshape is its Fourier
+transform, taken by the caller.  Reference semantics:
+``renormalizer/spectra/base.py:12-45``.
 """
 
 import numpy as np
@@ -11,38 +11,38 @@ import numpy as np
 from renormalizer_tpu.mps import Mpo
 from renormalizer_tpu.utils import CompressConfig, Quantity, TdMpsJob
 
+# absorption adds an exciton to the 0-exciton space; emission removes one
+# from the 1-exciton space
+_INITIAL_EXCITONS = {"abs": 0, "emi": 1}
+
 
 class SpectraTdMpsJobBase(TdMpsJob):
-    def __init__(
-        self,
-        model,
-        spectratype,
-        temperature,
-        evolve_config=None,
-        compress_config=None,
-        offset=Quantity(0),
-        dump_dir=None,
-        job_name=None,
-    ):
+    """Base driver: subclasses provide ``init_mps`` (the initial bra/ket
+    pair) and ``evolve_single_step``; the base records ``pair.ft`` per step
+    and dumps the (time, autocorrelation) series."""
+
+    def __init__(self, model, spectratype, temperature,
+                 evolve_config=None, compress_config=None,
+                 offset=Quantity(0), dump_dir=None, job_name=None):
+        if spectratype not in _INITIAL_EXCITONS:
+            raise ValueError(f"spectratype must be abs/emi, got {spectratype}")
         self.model = model
-        assert spectratype in ("emi", "abs")
         self.spectratype = spectratype
-        self.nexciton = 1 if spectratype == "emi" else 0
-        self.compress_config = compress_config if compress_config is not None else CompressConfig()
+        self.nexciton = _INITIAL_EXCITONS[spectratype]
         self.temperature = temperature
+        self.compress_config = (
+            CompressConfig() if compress_config is None else compress_config)
         self.h_mpo: Mpo = Mpo(model, offset=offset)
         self._autocorr = []
-        super().__init__(evolve_config=evolve_config, dump_dir=dump_dir, job_name=job_name)
+        super().__init__(evolve_config=evolve_config, dump_dir=dump_dir,
+                         job_name=job_name)
 
     def process_mps(self, braket_pair):
         self._autocorr.append(braket_pair.ft)
 
     @property
-    def autocorr(self):
+    def autocorr(self) -> np.ndarray:
         return np.array(self._autocorr)
 
     def get_dump_dict(self):
-        return {
-            "time series": self.evolve_times,
-            "autocorr": self.autocorr,
-        }
+        return {"time series": self.evolve_times, "autocorr": self.autocorr}

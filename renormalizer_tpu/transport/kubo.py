@@ -3,22 +3,19 @@ r"""Carrier mobility via the Green-Kubo formula.
 .. math::
     \mu = \frac{1}{k_B T}\int_0^\infty dt\, \langle \hat j(t)\hat j(0)\rangle
 
-The current operator is derived automatically from the Hamiltonian terms
-(Holstein part and phonon-assisted Peierls part); the thermal density matrix
-is split as e^{-beta H/2} ... e^{-beta H/2} and two branches are evolved in
-real time.  Reference ``renormalizer/transport/kubo.py:18-365``.
-
-NOTICE: this module is deliberately a structural port of the reference
-driver for API parity — it is thin host-side orchestration; all device
-work happens in the engine layers (mps/, ops/, lib/), which are
-TPU-first redesigns.
+The current operator is derived automatically from the Hamiltonian
+(:func:`derive_current_terms` scans for inter-site electronic hops, split
+into a bare Holstein part and a phonon-assisted Peierls part); the thermal
+average is realized by splitting :math:`e^{-\beta H}` symmetrically and
+evolving two branches in real time.  With a Peierls part present, four
+correlation components :math:`\langle J_a(t) J_b(0)\rangle` are collected
+(A.4 contract).  Reference semantics: ``renormalizer/transport/kubo.py``.
 """
 
 import logging
 import os
 
 import numpy as np
-import scipy.integrate
 
 from renormalizer_tpu.model import Model
 from renormalizer_tpu.mps import BraKetPair, MpDm, Mpo, ThermalProp, load_thermal_state
@@ -28,189 +25,162 @@ from renormalizer_tpu.utils.constant import mobility2au
 logger = logging.getLogger(__name__)
 
 
+def pbc_chain_distances(n: int) -> np.ndarray:
+    """Signed site-distance matrix of a periodic 1D chain (the wrap bond
+    contributes +-1, not +-(n-1))."""
+    d = np.arange(n).reshape(-1, 1) - np.arange(n).reshape(1, -1)
+    d[0, -1], d[-1, 0] = 1, -1
+    return d
+
+
+def _electronic_legs(model: Model, term):
+    """Indices of the (up to two) electronic operators inside one
+    Hamiltonian term, as [(position-in-term, e-dof index), ...]."""
+    legs = []
+    for pos, dof in enumerate(term.dofs):
+        if model.basis[model.dof_to_siteidx[dof]].is_electron:
+            legs.append((pos, model.e_dofs.index(dof)))
+    if len(legs) > 2:
+        raise ValueError(f"three-electron (or more complex) operator {term}")
+    return legs
+
+
+def derive_current_terms(model: Model, distance_matrix: np.ndarray):
+    """j = -i[P, H], scanned term-by-term; the i is dropped (j taken real)
+    so every hop term is just weighted by its signed distance.  Returns
+    (holstein_terms, peierls_terms)."""
+    bare, assisted = [], []
+    for term in model.ham_terms:
+        legs = _electronic_legs(model, term)
+        if len(legs) != 2 or legs[0][1] == legs[1][1]:
+            continue  # on-site or purely vibrational term: no current
+        if len(term.dofs) not in (2, 3):
+            raise NotImplementedError("Complex vibration potential not implemented")
+        if len(term.dofs) == 3:
+            ph_pos = 3 - legs[0][0] - legs[1][0]
+            assert term.split_symbol[ph_pos] in (r"b^\dagger+b", "x")
+        sym1, sym2 = (term.split_symbol[p] for p, _ in legs)
+        if {sym1, sym2} != {r"a^\dagger", "a"}:
+            raise ValueError(f"Unknown symbol: {sym1}, {sym2}")
+        i, j = legs[0][1], legs[1][1]
+        weight = distance_matrix[i][j] if sym1 == r"a^\dagger" else distance_matrix[j][i]
+        (bare if len(term.dofs) == 2 else assisted).append(term * weight)
+    return bare, assisted
+
+
 class TransportKubo(TdMpsJob):
-    def __init__(
-        self,
-        model: Model,
-        temperature: Quantity,
-        distance_matrix: np.ndarray = None,
-        insteps: int = 1,
-        ievolve_config=None,
-        compress_config=None,
-        evolve_config=None,
-        dump_dir: str = None,
-        job_name: str = None,
-        thermal_dump_path: str = None,
-        properties=None,
-    ):
-        self.model = model
-        self.distance_matrix = distance_matrix
-        self.h_mpo = Mpo(model)
-        logger.info(f"Bond dim of h_mpo: {self.h_mpo.bond_dims}")
-        self._construct_current_operator()
+    def __init__(self, model: Model, temperature: Quantity,
+                 distance_matrix: np.ndarray = None, insteps: int = 1,
+                 ievolve_config=None, compress_config=None, evolve_config=None,
+                 dump_dir: str = None, job_name: str = None,
+                 thermal_dump_path: str = None, properties=None):
         if temperature == 0:
             raise ValueError("Can't set temperature to 0.")
+        self.model = model
         self.temperature = temperature
+        self.h_mpo = Mpo(model)
+        logger.info(f"H MPO bond dimensions: {self.h_mpo.bond_dims}")
+        if distance_matrix is None:
+            logger.info("no distance matrix given; assuming a periodic 1D chain")
+            distance_matrix = pbc_chain_distances(model.n_edofs)
+        self.distance_matrix = distance_matrix
+        bare, assisted = derive_current_terms(model, distance_matrix)
+        self.j_oper = Mpo(model, bare)
+        logger.info(f"current operator bond dims: {self.j_oper.bond_dims}")
+        self.j_oper2 = Mpo(model, assisted) if assisted else None
+        if self.j_oper2 is not None:
+            logger.info(
+                f"Peierls current operator bond dims: {self.j_oper2.bond_dims}")
 
         if ievolve_config is None:
-            self.ievolve_config = EvolveConfig()
+            ievolve_config = EvolveConfig()
             if insteps is None:
-                self.ievolve_config.adaptive = True
-                self.ievolve_config.guess_dt = temperature.to_beta() / 1e5j
+                ievolve_config.adaptive = True
+                ievolve_config.guess_dt = temperature.to_beta() / 1e5j
                 insteps = 1
-        else:
-            self.ievolve_config = ievolve_config
+        self.ievolve_config = ievolve_config
         self.insteps = insteps
-        self.compress_config = compress_config if compress_config is not None else CompressConfig()
+        self.compress_config = (
+            CompressConfig() if compress_config is None else compress_config)
 
-        if thermal_dump_path is not None:
-            self.thermal_dump_path = thermal_dump_path
-        elif dump_dir is not None and job_name is not None:
-            self.thermal_dump_path = os.path.join(dump_dir, job_name + "_impdm.npz")
-        else:
-            self.thermal_dump_path = None
+        if thermal_dump_path is None and dump_dir is not None and job_name is not None:
+            thermal_dump_path = os.path.join(dump_dir, job_name + "_impdm.npz")
+        self.thermal_dump_path = thermal_dump_path
 
         self.properties = properties
         self._auto_corr = []
         self._auto_corr_decomposition = []
-        super().__init__(evolve_config=evolve_config, dump_dir=dump_dir, job_name=job_name)
+        super().__init__(evolve_config=evolve_config, dump_dir=dump_dir,
+                         job_name=job_name)
 
-    def _construct_current_operator(self):
-        r"""Derive j = -i[P, H] by scanning the Hamiltonian for inter-site
-        electronic terms (reference ``kubo.py:140-216``).  The operator is
-        taken real as an optimization."""
-        logger.info("constructing current operator")
-        mol_num = self.model.n_edofs
-        if self.distance_matrix is None:
-            logger.info("Constructing distance matrix for a periodic 1D chain.")
-            self.distance_matrix = (
-                np.arange(mol_num).reshape(-1, 1) - np.arange(mol_num).reshape(1, -1)
-            )
-            self.distance_matrix[0][-1] = 1
-            self.distance_matrix[-1][0] = -1
+    # --- initial state -----------------------------------------------------
 
-        holstein_terms = []
-        peierls_terms = []
-        for ham_op in self.model.ham_terms:
-            # locate the two electronic operators (if any) in the term
-            dof_op_idx1 = dof_op_idx2 = None
-            e_idx1 = e_idx2 = None
-            for dof_idx, dof_name in enumerate(ham_op.dofs):
-                site_idx = self.model.dof_to_siteidx[dof_name]
-                if self.model.basis[site_idx].is_electron:
-                    e_idx = self.model.e_dofs.index(dof_name)
-                    if dof_op_idx1 is None:
-                        dof_op_idx1, e_idx1 = dof_idx, e_idx
-                    elif dof_op_idx2 is None:
-                        dof_op_idx2, e_idx2 = dof_idx, e_idx
-                    else:
-                        raise ValueError(
-                            f"The model contains three-electron (or more complex) operator {ham_op}"
-                        )
-            if dof_op_idx1 is None or dof_op_idx2 is None:
-                continue
-            if e_idx1 == e_idx2:
-                continue
-            if len(ham_op.dofs) not in (2, 3):
-                raise NotImplementedError("Complex vibration potential not implemented")
-            if len(ham_op.dofs) == 3:
-                phonon_dof_idx = 3 - dof_op_idx1 - dof_op_idx2
-                assert ham_op.split_symbol[phonon_dof_idx] in (r"b^\dagger+b", "x")
-            symbol1 = ham_op.split_symbol[dof_op_idx1]
-            symbol2 = ham_op.split_symbol[dof_op_idx2]
-            if {symbol1, symbol2} != {r"a^\dagger", "a"}:
-                raise ValueError(f"Unknown symbol: {symbol1}, {symbol2}")
-            if symbol1 == r"a^\dagger":
-                factor = self.distance_matrix[e_idx1][e_idx2]
-            else:
-                factor = self.distance_matrix[e_idx2][e_idx1]
-            current_op = ham_op * factor
-            if len(ham_op.dofs) == 2:
-                holstein_terms.append(current_op)
-            else:
-                peierls_terms.append(current_op)
-
-        self.j_oper = Mpo(self.model, holstein_terms)
-        logger.info(f"current operator bond dim: {self.j_oper.bond_dims}")
-        if peierls_terms:
-            self.j_oper2 = Mpo(self.model, peierls_terms)
-            logger.info(
-                f"Peierls current operator bond dim: {self.j_oper2.bond_dims}"
-            )
-        else:
-            self.j_oper2 = None
+    def _thermal_state(self) -> MpDm:
+        """e^{-beta H / 2} of the one-exciton space, disk-cached."""
+        if self.thermal_dump_path is not None:
+            cached = load_thermal_state(self.model, self.thermal_dump_path)
+            if cached is not None:
+                return cached
+        rho0 = MpDm.max_entangled_ex(self.model)
+        rho0.compress_config = self.compress_config
+        sub_name = None if self.job_name is None else (
+            self.job_name + "_thermal_prop")
+        tp = ThermalProp(rho0, evolve_config=self.ievolve_config,
+                         dump_dir=self.dump_dir, job_name=sub_name)
+        tp.evolve(None, self.insteps, self.temperature.to_beta() / 2j)
+        rho = tp.latest_mps
+        if self.thermal_dump_path is not None:
+            rho.dump(self.thermal_dump_path)
+        return rho
 
     def init_mps(self):
-        mpdm = None
-        if self.thermal_dump_path is not None:
-            mpdm = load_thermal_state(self.model, self.thermal_dump_path)
-        if mpdm is None:
-            i_mpdm = MpDm.max_entangled_ex(self.model)
-            i_mpdm.compress_config = self.compress_config
-            job_name = None if self.job_name is None else self.job_name + "_thermal_prop"
-            tp = ThermalProp(
-                i_mpdm, evolve_config=self.ievolve_config,
-                dump_dir=self.dump_dir, job_name=job_name,
-            )
-            tp.evolve(None, self.insteps, self.temperature.to_beta() / 2j)
-            mpdm = tp.latest_mps
-            if self.thermal_dump_path is not None:
-                mpdm.dump(self.thermal_dump_path)
-        mpdm.compress_config = self.compress_config
-        e = mpdm.expectation(self.h_mpo)
-        self.h_mpo = Mpo(self.model, offset=Quantity(e))
-        mpdm.evolve_config = self.evolve_config
-        logger.debug("Applying current operator")
-        ket_mpdm = self.j_oper.contract(mpdm).normalize("mps_norm_to_coeff")
-        bra_mpdm = mpdm.copy()
-        if self.j_oper2 is None:
-            return BraKetPair(bra_mpdm, ket_mpdm, self.j_oper)
-        ket_mpdm2 = self.j_oper2.contract(mpdm).normalize("mps_norm_to_coeff")
-        return (
-            BraKetPair(bra_mpdm, ket_mpdm, self.j_oper),
-            BraKetPair(bra_mpdm, ket_mpdm2, self.j_oper2),
-        )
+        rho = self._thermal_state()
+        rho.compress_config = self.compress_config
+        self.h_mpo = Mpo(self.model, offset=Quantity(rho.expectation(self.h_mpo)))
+        rho.evolve_config = self.evolve_config
+        logger.debug("applying the current operator to the thermal state")
+        branches = []
+        for j in (self.j_oper, self.j_oper2):
+            if j is None:
+                continue
+            ket = j.contract(rho).normalize("mps_norm_to_coeff")
+            branches.append(BraKetPair(rho.copy(), ket, j))
+        return branches[0] if len(branches) == 1 else tuple(branches)
+
+    # --- propagation loop --------------------------------------------------
+
+    def evolve_single_step(self, evolve_dt):
+        pairs = (self.latest_mps,) if self.j_oper2 is None else self.latest_mps
+        bra = pairs[0].bra_mps.evolve(self.h_mpo, evolve_dt)
+        kets = [p.ket_mps.evolve(self.h_mpo, evolve_dt) for p in pairs]
+        out = [BraKetPair(bra, k, j)
+               for k, j in zip(kets, (self.j_oper, self.j_oper2))]
+        return out[0] if len(out) == 1 else tuple(out)
 
     def process_mps(self, mps):
-        # negative sign: `j_oper` is taken real (so j = i * j_oper)
+        # minus sign: j was taken real above, so the true current is i*j
         if self.j_oper2 is None:
             self._auto_corr.append(-mps.ft)
             if self.properties is not None:
                 self.properties.calc_properties_braketpair(mps)
-        else:
-            (bra_mpdm, ket_mpdm), (_, ket_mpdm2) = mps
-            ft1 = -BraKetPair(bra_mpdm, ket_mpdm, self.j_oper).ft
-            ft2 = -BraKetPair(bra_mpdm, ket_mpdm2, self.j_oper).ft
-            ft3 = -BraKetPair(bra_mpdm, ket_mpdm, self.j_oper2).ft
-            ft4 = -BraKetPair(bra_mpdm, ket_mpdm2, self.j_oper2).ft
-            self._auto_corr.append(ft1 + ft2 + ft3 + ft4)
-            self._auto_corr_decomposition.append([ft1, ft2, ft3, ft4])
-
-    def evolve_single_step(self, evolve_dt):
-        if self.j_oper2 is None:
-            bra_mpdm, ket_mpdm = self.latest_mps
-            ket_mpdm2 = None
-        else:
-            (bra_mpdm, ket_mpdm), (_, ket_mpdm2) = self.latest_mps
-        new_ket = ket_mpdm.evolve(self.h_mpo, evolve_dt)
-        new_bra = bra_mpdm.evolve(self.h_mpo, evolve_dt)
-        if self.j_oper2 is None:
-            return BraKetPair(new_bra, new_ket, self.j_oper)
-        new_ket2 = ket_mpdm2.evolve(self.h_mpo, evolve_dt)
-        return (
-            BraKetPair(new_bra, new_ket, self.j_oper),
-            BraKetPair(new_bra, new_ket2, self.j_oper2),
-        )
+            return
+        (bra, ket1), (_, ket2) = mps
+        comps = [
+            -BraKetPair(bra, k, j).ft
+            for j in (self.j_oper, self.j_oper2) for k in (ket1, ket2)
+        ]
+        self._auto_corr.append(sum(comps))
+        self._auto_corr_decomposition.append(comps)
 
     def stop_evolve_criteria(self):
+        """Auto-stop when |C(t)| has decayed to 1e-5 of |C(0)| for 10 steps."""
         corr = self.auto_corr
         if len(corr) < 10:
             return False
-        last, first = corr[-10:], corr[0]
-        return (
-            np.abs(last.mean()) < 1e-5 * np.abs(first)
-            and last.std() < 1e-5 * np.abs(first)
-        )
+        tail, head = corr[-10:], np.abs(corr[0])
+        return np.abs(tail.mean()) < 1e-5 * head and tail.std() < 1e-5 * head
+
+    # --- results -----------------------------------------------------------
 
     @property
     def auto_corr(self) -> np.ndarray:
@@ -220,8 +190,15 @@ class TransportKubo(TdMpsJob):
     def auto_corr_decomposition(self) -> np.ndarray:
         return np.array(self._auto_corr_decomposition)
 
+    def calc_mobility(self):
+        mobility_au = (
+            np.trapezoid(self.auto_corr.real, self.evolve_times)
+            / self.temperature.as_au()
+        )
+        return mobility_au, mobility_au / mobility2au
+
     def get_dump_dict(self):
-        dump_dict = {
+        out = {
             "mol list": self.model.to_dict(),
             "temperature": self.temperature.as_au(),
             "time series": self.evolve_times,
@@ -230,13 +207,5 @@ class TransportKubo(TdMpsJob):
             "mobility": self.calc_mobility()[1],
         }
         if self.properties is not None:
-            for prop_str, res in self.properties.prop_res.items():
-                dump_dict[prop_str] = res
-        return dump_dict
-
-    def calc_mobility(self):
-        time_series = self.evolve_times
-        corr_real = self.auto_corr.real
-        inte = np.trapezoid(corr_real, time_series)
-        mobility_in_au = inte / self.temperature.as_au()
-        return mobility_in_au, mobility_in_au / mobility2au
+            out.update(self.properties.prop_res)
+        return out

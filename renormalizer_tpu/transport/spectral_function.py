@@ -1,18 +1,15 @@
-r"""One-particle retarded Green's function at zero temperature for a
-translational invariant 1D model:
+r"""Zero-temperature one-particle Green's function on a translational
+invariant 1D lattice:
 
 .. math::
     iG_{ij}(t) = \langle 0| c_i(t) c^\dagger_j |0\rangle
 
-stored per |i-j| (translational invariance) with its k-space transform.
-For finite-T use thermofield dynamics with a transformed Hamiltonian
-(J. Chem. Phys. 145, 224101 (2016)).
-Reference ``renormalizer/transport/spectral_function.py:15-137``.
-
-NOTICE: this module is deliberately a structural port of the reference
-driver for API parity — it is thin host-side orchestration; all device
-work happens in the engine layers (mps/, ops/, lib/), which are
-TPU-first redesigns.
+Translational invariance means :math:`G` depends only on :math:`|i-j|`, so
+one evolved ket serves every row, and the lattice Fourier transform gives
+the k-resolved spectral function.  Finite temperature is reached by running
+the same job on a thermofield-transformed Hamiltonian (J. Chem. Phys. 145,
+224101 (2016)).  Reference semantics:
+``renormalizer/transport/spectral_function.py:15-137``.
 """
 
 import logging
@@ -26,67 +23,71 @@ from renormalizer_tpu.utils import CompressConfig, EvolveConfig, Quantity, TdMps
 logger = logging.getLogger(__name__)
 
 
+def _lattice_fourier(g_rt: np.ndarray, n_sites: int) -> np.ndarray:
+    """G(|i-j|, t) -> G(k, t) on the first Brillouin zone's ``n//2 + 1``
+    non-negative momenta."""
+    k = np.arange(n_sites // 2 + 1) * (2 * np.pi / n_sites)
+    phase = np.exp(1j * np.outer(np.arange(n_sites), k))  # (dr, k)
+    return g_rt @ phase
+
+
 class SpectralFunctionZT(TdMpsJob):
-    def __init__(
-        self,
-        model: TI1DModel,
-        compress_config: CompressConfig = None,
-        evolve_config: EvolveConfig = None,
-        dump_dir: str = None,
-        job_name: str = None,
-    ):
+    r"""Propagate :math:`c^\dagger_0 |0\rangle` and project onto
+    :math:`c_i` for every site each step."""
+
+    def __init__(self, model: TI1DModel, compress_config: CompressConfig = None,
+                 evolve_config: EvolveConfig = None, dump_dir: str = None,
+                 job_name: str = None):
         self.model = model
-        self.compress_config = compress_config if compress_config is not None else CompressConfig()
+        self.compress_config = (
+            CompressConfig() if compress_config is None else compress_config)
         self._G_array = []
         self.e_occupations_array = []
         self.temperature = Quantity(0)
-        super().__init__(evolve_config=evolve_config, dump_dir=dump_dir, job_name=job_name)
+        super().__init__(evolve_config=evolve_config, dump_dir=dump_dir,
+                         job_name=job_name)
 
     @property
     def G_array(self):
         """G_{ij}(t): first axis t, second axis |i-j|."""
         return np.array(self._G_array)
 
-    def init_mps(self):
-        creation_oper = Mpo.onsite(self.model, r"a^\dagger", dof_set=[self.model.e_dofs[0]])
-        gs = Mps.ground_state(self.model, False)
-        self.h_mpo = Mpo(self.model, offset=Quantity(gs.expectation(Mpo(self.model))))
-        a_ket = creation_oper.apply(gs, canonicalise=True)
-        a_ket.compress_config = self.compress_config
-        a_ket.evolve_config = self.evolve_config
-        a_ket.normalize("mps_norm_to_coeff")
-        if self.evolve_config.is_tdvp:
-            a_ket = a_ket.expand_bond_dimension(self.h_mpo)
-        return (gs, a_ket)
+    def _annihilators(self):
+        """Per-site c_i MPOs, cached on the model across process_mps calls."""
+        return self.model.get_mpos(
+            "a", lambda m: [Mpo.onsite(m, "a", dof_set=[dof])
+                            for dof in m.e_dofs])
 
-    def process_mps(self, mps):
-        key = "a"
-        if key not in self.model.mpos:
-            self.model.mpos[key] = [
-                Mpo.onsite(self.model, "a", dof_set=[dof]) for dof in self.model.e_dofs
-            ]
-        a_opers = self.model.mpos[key]
-        a_bra, a_ket = mps
-        G = a_ket.expectations(a_opers, a_bra.conj()) / 1j
-        self._G_array.append(G)
-        self.e_occupations_array.append(a_ket.e_occupations)
+    def init_mps(self):
+        vacuum = Mps.ground_state(self.model, False)
+        e_vac = vacuum.expectation(Mpo(self.model))
+        self.h_mpo = Mpo(self.model, offset=Quantity(e_vac))
+        ket = Mpo.onsite(
+            self.model, r"a^\dagger", dof_set=[self.model.e_dofs[0]]
+        ).apply(vacuum, canonicalise=True)
+        ket.compress_config = self.compress_config
+        ket.evolve_config = self.evolve_config
+        ket.normalize("mps_norm_to_coeff")
+        if self.evolve_config.is_tdvp:
+            ket = ket.expand_bond_dimension(self.h_mpo)
+        return (vacuum, ket)
 
     def evolve_single_step(self, evolve_dt):
         bra, ket = self.latest_mps
         return (bra, ket.evolve(self.h_mpo, evolve_dt))
 
+    def process_mps(self, mps):
+        bra, ket = mps
+        row = ket.expectations(self._annihilators(), bra.conj()) / 1j
+        self._G_array.append(row)
+        self.e_occupations_array.append(ket.e_occupations)
+
     def get_dump_dict(self):
-        dump_dict = {
+        g = self.G_array
+        return {
             "temperature": self.temperature.as_au(),
             "time series": self.evolve_times,
-            "G array": self.G_array,
+            "G array": g,
+            "Gk array": _lattice_fourier(g, self.model.n_edofs),
+            "electron occupations array": self.e_occupations_array,
         }
-        ne = self.model.n_edofs
-        n_kpoints = ne // 2 + 1
-        ka = (np.arange(n_kpoints) * (2 * np.pi) / ne).reshape(1, 1, -1)
-        ijdiff = np.arange(ne).reshape(1, -1, 1)
-        dump_dict["Gk array"] = np.sum(
-            self.G_array.reshape(-1, ne, 1) * np.exp(1j * ka * ijdiff), axis=1
-        )
-        dump_dict["electron occupations array"] = self.e_occupations_array
-        return dump_dict
