@@ -10,12 +10,18 @@ from typing import List, Union
 import jax.numpy as jnp
 import numpy as np
 
-from renormalizer_tpu.lib.solvers import davidson
+from renormalizer_tpu.lib.solvers import davidson, davidson_multiroot
 from renormalizer_tpu.tn.hop_expr import hop_expr2
 from renormalizer_tpu.tn.node import TreeNodeTensor
 from renormalizer_tpu.tn.tree import TTNEnviron, TTNO, TTNS
 
 logger = logging.getLogger(__name__)
+
+
+def _solver_tol() -> float:
+    from renormalizer_tpu.backend import backend
+
+    return 1e-5 if backend.is_32bits else 1e-10
 
 
 def optimize_ttns(ttns: TTNS, ttno: TTNO, procedure=None):
@@ -65,32 +71,70 @@ def optimize_2site(snode: TreeNodeTensor, ttns: TTNS, ttno: TTNO, ttne: TTNEnvir
         out = expr(x.reshape(cshape)).ravel()
         return jnp.where(mask_flat, out, 0)
 
-    assert ttns.optimize_config.nroots == 1
+    nroots = ttns.optimize_config.nroots
     algo = ttns.optimize_config.algo
     hdiag_eff = jnp.where(mask_flat, hdiag.ravel(), 1e10)
     x0 = jnp.where(mask_flat, jnp.asarray(cguess).ravel(), 0)
+    if nroots > 1:
+        # state-averaged: block Davidson for the nroots lowest local
+        # eigenpairs; downstream truncation averages the density matrices
+        # (exceeds the reference, whose tree engine is single-root:
+        # ``renormalizer/tn/gs.py:73``)
+        rng = np.random.default_rng(2019)
+        x0_list = [x0] + [
+            jnp.where(mask_flat, jnp.asarray(rng.random(qn_mask.size) - 0.5), 0)
+            for _ in range(nroots - 1)
+        ]
+        thetas, X, _ = davidson_multiroot(
+            hop, x0_list, hdiag_eff, nroots, tol=_solver_tol(), max_cycle=100
+        )
+        es = [float(t) for t in np.asarray(thetas)]
+        cs = [X[i].reshape(cshape) for i in range(nroots)]
+        return es, cs
     if algo == "davidson":
-        from renormalizer_tpu.backend import backend as _backend
-
-        tol = 1e-5 if _backend.is_32bits else 1e-10
-        e, c, niter = davidson(hop, x0, hdiag_eff, tol=tol, max_cycle=100)
+        e, c, niter = davidson(
+            hop, x0, hdiag_eff, tol=_solver_tol(), max_cycle=100
+        )
         e = float(np.asarray(e))
-    elif algo == "direct":
-        idx = np.nonzero(qn_mask.ravel())[0]
-        a_list = []
+    elif algo == "arpack":
+        # host Lanczos (scipy eigsh) restricted to the masked subspace —
+        # cross-validates the device Davidson (reference tree option:
+        # ``renormalizer/tn/gs.py:105-109``)
+        import scipy.sparse.linalg
+
+        idx = np.nonzero(np.asarray(qn_mask).ravel())[0]
         dim = qn_mask.size
-        for i in idx:
-            a = jnp.zeros(dim).at[i].set(1.0)
-            a_list.append(np.asarray(hop(a))[idx])
-        a = np.array(a_list)
-        assert np.allclose(a, a.conj().T, atol=1e-8)
-        evals, evecs = np.linalg.eigh(a)
-        e = evals[0]
-        c_masked = evecs[:, 0]
-        c_full = np.zeros(dim)
-        c_full[idx] = c_masked
-        c = jnp.asarray(c_full)
-        return e, c.reshape(cshape)
+        if len(idx) <= 1:
+            return _eigh_dense_masked(hop, qn_mask, cshape)
+
+        def matvec(x):
+            full = np.zeros(dim, dtype=x.dtype)
+            full[idx] = x
+            return np.asarray(hop(jnp.asarray(full)))[idx]
+
+        lo = scipy.sparse.linalg.LinearOperator(
+            (len(idx), len(idx)), matvec=matvec, dtype=np.float64
+        )
+        v0 = np.asarray(x0)[idx]
+        w, v = scipy.sparse.linalg.eigsh(lo, k=1, which="SA", v0=v0)
+        e = float(w[0])
+        c = jnp.zeros(dim).at[jnp.asarray(idx)].set(jnp.asarray(v[:, 0]))
+    elif algo == "direct":
+        return _eigh_dense_masked(hop, qn_mask, cshape)
     else:
         raise NotImplementedError(f"TTNS eigensolver algo={algo} not available")
     return e, c.reshape(cshape)
+
+
+def _eigh_dense_masked(hop, qn_mask, cshape):
+    """Materialize H on the masked subspace and diagonalize (debug-grade)."""
+    idx = np.nonzero(np.asarray(qn_mask).ravel())[0]
+    dim = qn_mask.size
+    a = np.array([
+        np.asarray(hop(jnp.zeros(dim).at[i].set(1.0)))[idx] for i in idx
+    ])
+    assert np.allclose(a, a.conj().T, atol=1e-8)
+    evals, evecs = np.linalg.eigh(a)
+    c_full = np.zeros(dim)
+    c_full[idx] = evecs[:, 0]
+    return evals[0], jnp.asarray(c_full).reshape(cshape)

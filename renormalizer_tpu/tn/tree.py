@@ -877,6 +877,11 @@ class TTNS(TTNBase):
         qnbigl, qnbigr, _ = self.get_qnmat(node, include_parent=True)
         dim1 = int(np.prod(qnbigl.shape[:-1]))
         dim2 = int(np.prod(qnbigr.shape[:-1]))
+        if isinstance(tensor, (list, tuple)):
+            return self._update_2site_averaged(
+                node, [jnp.asarray(t).reshape(dim1, dim2) for t in tensor],
+                qnbigl, qnbigr, m, percent, cano_parent,
+            )
         tensor = jnp.asarray(tensor).reshape(dim1, -1)
 
         from renormalizer_tpu.utils.configs import CompressCriteria as _CC
@@ -972,6 +977,48 @@ class TTNS(TTNBase):
         del shape[ichild]
         shape = [-1] + shape
         parent.tensor = jnp.moveaxis(m_parent.reshape(shape), 0, ichild)
+
+    def _update_2site_averaged(self, node, mats, qnbigl, qnbigr, m, percent,
+                               cano_parent: bool):
+        """State-averaged 2-site update: the renormalized basis diagonalizes
+        the average of the roots' reduced density matrices (tree analog of
+        the MPS state-averaged path, ``mp.py`` ``_update_mps``; the sweep
+        continues with root 0 rotated into the averaged basis)."""
+        from renormalizer_tpu.mps.svd_qn import eigh_qn
+        from renormalizer_tpu.mps.lib import select_basis
+
+        parent = node.parent
+        system = "L" if cano_parent else "R"
+        if cano_parent:
+            ddm = sum(mat @ mat.conj().T for mat in mats) / len(mats)
+        else:
+            ddm = sum(mat.conj().T @ mat for mat in mats) / len(mats)
+        u, s, qnnew = eigh_qn(np.asarray(ddm), qnbigl, qnbigr, self.qntot,
+                              system)
+        if m is None:
+            m_trunc = self.compress_config.compute_m_trunc(
+                s, self.node_idx[node], left=False)
+        else:
+            m_cap = (m[self.node_idx[node]]
+                     if isinstance(m, (list, tuple, np.ndarray)) else m)
+            m_trunc = int(min(m_cap, len(s)))
+        ms, msdim, msqn, _ = select_basis(u, s, qnnew, None, m_trunc,
+                                          percent=percent)
+        ms = jnp.asarray(ms)
+        if cano_parent:
+            m_node = ms                                   # (dim1, k) isometry
+            m_parent = ms.conj().T @ mats[0]              # (k, dim2)
+        else:
+            m_node = mats[0] @ ms.conj()                  # (dim1, k)
+            m_parent = ms.T                               # (k, dim2) isometry
+        node.tensor = m_node.reshape(list(node.shape[:-1]) + [-1])
+        node.qn = msqn if cano_parent else self.qntot - msqn
+        assert len(node.qn) == node.shape[-1]
+        shape = list(parent.tensor.shape)
+        ichild = parent.children.index(node)
+        del shape[ichild]
+        parent.tensor = jnp.moveaxis(
+            m_parent.reshape([-1] + shape), 0, ichild)
 
     @property
     def norm(self):

@@ -122,6 +122,62 @@ def test_optimize_ttns(tree_kind):
     )
 
 
+def _sector_spectrum(model, nexciton, k):
+    h = dense_hamiltonian(model)
+    dims = model.pbond_list
+    qn = np.array([
+        sum(model.basis[i].sigmaqn[np.unravel_index(s, dims)[i]][0]
+            for i in range(len(dims)))
+        for s in range(h.shape[0])
+    ])
+    sector = np.nonzero(qn == nexciton)[0]
+    return np.linalg.eigvalsh(h[np.ix_(sector, sector)])[:k]
+
+
+def test_optimize_ttns_arpack():
+    """Host-Lanczos (scipy eigsh) tree eigensolver cross-validates the
+    device Davidson (reference offers arpack: ``tn/gs.py:105-109``)."""
+    from renormalizer_tpu.utils import OptimizeConfig
+
+    model = exact_model()
+    e_exact = _sector_spectrum(model, 1, 1)[0]
+    basis_tree = BasisTree.binary(model.basis)
+    ttns = TTNS.random(basis_tree, 1, 16)
+    ttns.optimize_config = OptimizeConfig(procedure=[[16, 0.4], [16, 0.2], [16, 0], [16, 0]])
+    ttns.optimize_config.algo = "arpack"
+    e_list = optimize_ttns(ttns, TTNO(basis_tree, model.ham_terms))
+    assert np.isclose(min(e_list), e_exact, atol=1e-7)
+
+
+def test_optimize_ttns_nroots():
+    """State-averaged tree DMRG (nroots=2): the reference tree engine is
+    single-root (``renormalizer/tn/gs.py:73``); cross-checked against both
+    the dense sector spectrum and the MPS engine's nroots result."""
+    from renormalizer_tpu.mps.gs import optimize_mps
+    from renormalizer_tpu.utils import OptimizeConfig
+
+    model = exact_model()
+    e_exact = _sector_spectrum(model, 1, 2)
+
+    # MPS engine on the same model (the cross-check baseline)
+    mps = Mps.random(model, 1, 16)
+    mps.optimize_config = OptimizeConfig(
+        procedure=[[8, 0.4], [16, 0.2], [16, 0], [16, 0], [16, 0]])
+    mps.optimize_config.nroots = 2
+    mps_energies, _ = optimize_mps(mps, Mpo(model))
+
+    basis_tree = BasisTree.binary(model.basis)
+    ttns = TTNS.random(basis_tree, 1, 16)
+    ttns.optimize_config = OptimizeConfig(
+        procedure=[[8, 0.4], [16, 0.2], [16, 0], [16, 0], [16, 0]])
+    ttns.optimize_config.nroots = 2
+    e_list = optimize_ttns(ttns, TTNO(basis_tree, model.ham_terms))
+
+    ttns_final = sorted(np.atleast_1d(e_list[-1]))
+    assert np.allclose(ttns_final, e_exact, atol=1e-6)
+    assert np.allclose(ttns_final, sorted(mps_energies[-1]), atol=1e-6)
+
+
 @pytest.mark.parametrize("method", [
     EvolveMethod.tdvp_ps, EvolveMethod.tdvp_ps2, EvolveMethod.tdvp_vmf,
 ])
