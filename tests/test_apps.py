@@ -441,7 +441,11 @@ def test_property_thermal_equilibrium():
     rho = scipy.linalg.expm(-beta * h[np.ix_(s1, s1)])
     rho /= np.trace(rho)
 
-    rdm = np.array(np.asarray(prop.prop_res["e_rdm"][-1]), dtype=float)
+    rdm_c = np.asarray(prop.prop_res["e_rdm"][-1])
+    # the thermal-equilibrium RDM is real up to roundoff; cast explicitly
+    # so an actual phase bug cannot hide in a silent complex->real cast
+    assert np.abs(rdm_c.imag).max() < 1e-6
+    rdm = rdm_c.real.astype(float)
     rdm_d = np.zeros((3, 3))
     for i, di in enumerate(model.e_dofs):
         for j, dj in enumerate(model.e_dofs):
