@@ -19,7 +19,9 @@ import os
 import sys
 import time
 
-M = 256
+# headline bond dimension; RENO_BENCH_M overrides for the scaling battery
+# (benchmarks/round4_scaling.sh runs M=512/1024 for the compute-bound points)
+M = int(os.environ.get("RENO_BENCH_M", "256"))
 NMOLS = 6
 PH_LEVELS = [6, 6]
 NSWEEPS_MEASURE = 4
@@ -85,22 +87,50 @@ def bench_tpu():
     opt_e_idx = None
     energy = None
 
+    phase_stats = []
+
+    def relay_rtt():
+        """One tiny blocking fetch: samples the relay round-trip latency so
+        a stalled sweep can be attributed to the tunnel vs the device."""
+        import numpy as _np
+        import jax.numpy as _jnp
+
+        t = time.perf_counter()
+        _np.asarray(_jnp.zeros(1))
+        return time.perf_counter() - t
+
     def sweep(isweep, m, percent, tag):
         nonlocal opt_e_idx, energy, mpo
         mps.compress_config = CompressConfig(
             criteria=CompressCriteria.fixed, max_bonddim=m)
         backend.sync()
+        rtt0 = relay_rtt()
         t0 = time.time()
         micro, _, mpo = single_sweep(mps, mpo, environ, None, percent, opt_e_idx)
+        t_dispatch = time.time() - t0
         backend.sync()
         dt = time.time() - t0
+        rtt1 = relay_rtt()
+        # phase attribution (VERDICT r3 #10): `dispatch` is host-side python
+        # + async dispatch inside single_sweep, `drain` is the final sync
+        # waiting on in-flight device work; the two RTT samples bracketing
+        # the sweep say whether an outlier was a relay stall (elevated rtt)
+        # or genuine device/compile time (normal rtt)
+        phase_stats.append({
+            "tag": tag, "total_s": round(dt, 3),
+            "dispatch_s": round(t_dispatch, 3),
+            "drain_s": round(dt - t_dispatch, 3),
+            "rtt_before_ms": round(rtt0 * 1e3, 1),
+            "rtt_after_ms": round(rtt1 * 1e3, 1),
+        })
         opt_e = min(micro)
         opt_e_idx = opt_e[1]
         energy = opt_e[0]
         # progress heartbeat on stderr: keeps external stall watchdogs fed
         # during the (otherwise silent) multi-minute sweep loop
-        print(f"[bench] sweep {isweep} ({tag}) {dt:.2f}s e={energy:.6f}",
-              file=sys.stderr, flush=True)
+        print(f"[bench] sweep {isweep} ({tag}) {dt:.2f}s "
+              f"(dispatch {t_dispatch:.2f}s, rtt {rtt0*1e3:.0f}/{rtt1*1e3:.0f}ms) "
+              f"e={energy:.6f}", file=sys.stderr, flush=True)
         return dt
 
     def trace_count():
@@ -155,7 +185,7 @@ def bench_tpu():
     # outlier); the median reports the reproducible steady-state cost and
     # every individual sweep time is published alongside it
     med = sorted(times)[len(times) // 2]
-    return med, energy, model, times
+    return med, energy, model, times, phase_stats[-NSWEEPS_MEASURE:]
 
 
 def _tdvp_model_mps(renormalizer_pkg):
@@ -174,19 +204,52 @@ def _tdvp_model_mps(renormalizer_pkg):
 
 def bench_tdvp():
     """TDVP-PS steps/s (BASELINE.md row 2; ref comparator
-    ``renormalizer/mps/mps.py:1267``)."""
+    ``renormalizer/mps/mps.py:1267``).  Steady-state protocol mirroring the
+    DMRG bench: warm until a step adds no new jit traces (bond dims settle
+    after the first sweeps), then measure per-step wall times and report
+    the median (all samples published)."""
     from renormalizer_tpu.backend import backend
 
+    def trace_count():
+        import renormalizer_tpu.ops.contract as oc
+        import renormalizer_tpu.lib.solvers as ls
+        import renormalizer_tpu.mps.trunc_device as td
+
+        total = 0
+        for mod, names in ((oc, ("_einsum_jit", "_einsum_split_jit")),
+                           (ls, ("_expm_factory", "_davidson_factory")),
+                           (td, ("_sector_factory", "_sector_factory_masked",
+                                 "_sector_factory_batched", "_qr_factory",
+                                 "_apply_factory"))):
+            for name in names:
+                fn = getattr(mod, name, None)
+                if hasattr(fn, "cache_info"):
+                    total += fn.cache_info().misses
+        return total
+
     mps, mpo = _tdvp_model_mps("renormalizer_tpu")
-    # warm-up (compiles the per-site Lanczos + QR kernels)
-    for _ in range(2):
+    mps = mps.evolve(mpo, TDVP_DT)  # first step: bond growth + compiles
+    for _ in range(6):
+        before = trace_count()
+        t0 = time.time()
         mps = mps.evolve(mpo, TDVP_DT)
-    backend.sync()
-    t0 = time.time()
+        backend.sync()
+        warm_dt = time.time() - t0
+        print(f"[bench] tdvp warm step {warm_dt:.2f}s "
+              f"(new traces: {trace_count() - before})",
+              file=sys.stderr, flush=True)
+        if trace_count() == before:
+            break
+    step_times = []
     for _ in range(TDVP_STEPS):
+        t0 = time.time()
         mps = mps.evolve(mpo, TDVP_DT)
-    backend.sync()
-    return TDVP_STEPS / (time.time() - t0)
+        backend.sync()
+        step_times.append(round(time.time() - t0, 3))
+        print(f"[bench] tdvp measure step {step_times[-1]:.2f}s",
+              file=sys.stderr, flush=True)
+    med = sorted(step_times)[len(step_times) // 2]
+    return 1.0 / med, step_times
 
 
 def bench_tdvp_reference():
@@ -409,10 +472,11 @@ def _sub(name):
 
 @_sub("dmrg")
 def _sub_dmrg():
-    value, energy, _, times = bench_tpu()
+    value, energy, _, times, phases = bench_tpu()
     return {"s_per_sweep": value, "energy": energy,
             "sweep_times_s": [round(t, 3) for t in times],
-            "sweep_mean_s": round(sum(times) / len(times), 3)}
+            "sweep_mean_s": round(sum(times) / len(times), 3),
+            "sweep_phases": phases}
 
 
 @_sub("matvec")
@@ -432,7 +496,9 @@ def _sub_matvec():
 
 @_sub("tdvp")
 def _sub_tdvp():
-    return {"tdvp_ps_steps_per_s": round(bench_tdvp(), 3)}
+    steps_per_s, step_times = bench_tdvp()
+    return {"tdvp_ps_steps_per_s": round(steps_per_s, 3),
+            "tdvp_step_times_s": step_times}
 
 
 @_sub("ref")
