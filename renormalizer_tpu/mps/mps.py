@@ -42,6 +42,8 @@ from renormalizer_tpu.ops.contract import (
     einsum,
     hop_expr,
     hop_spec,
+    safe_eye,
+    safe_filled,
     tensordot1,
 )
 from renormalizer_tpu.utils import (
@@ -931,9 +933,9 @@ class Mps(MatrixProduct):
                 ltensor = environ.read("L", imps - 1)
                 if imps == self.site_num - 1:
                     # coefficient site: no projector needed
-                    rtensor = jnp.ones((1, 1, 1), dtype=mps[0].dtype)
+                    rtensor = safe_filled((1, 1, 1), 1.0, dtype=mps[0].dtype)
                     hop = hop_expr(ltensor, rtensor, [mpo_now[imps]], shape)
-                    S_inv = jnp.eye(1, dtype=mps[0].dtype)
+                    S_inv = safe_eye(1, dtype=mps[0].dtype)
                     func = integrand_func_factory(
                         shape, hop, True, S_inv, True, coef,
                         ovlp_inv1=S_L_inv_list[imps + 1],
@@ -1079,9 +1081,9 @@ class Mps(MatrixProduct):
                 ltensor = environ.read("L", imps - 1)
                 if imps == self.site_num - 1:
                     if loop == 1:
-                        rtensor = jnp.ones((1, 1, 1), dtype=mps[0].dtype)
+                        rtensor = safe_filled((1, 1, 1), 1.0, dtype=mps[0].dtype)
                         hop = hop_expr(ltensor, rtensor, [mpo[imps]], shape)
-                        S_inv = jnp.eye(1, dtype=mps[0].dtype)
+                        S_inv = safe_eye(1, dtype=mps[0].dtype)
                         func = integrand_func_factory(
                             shape, hop, True, S_inv, True, coef,
                             ovlp_inv1=S_L_inv_list[imps + 1],
@@ -1184,7 +1186,7 @@ def projector(ms, left: bool, Ovlp_inv1=None, Ovlp0=None):
             proj = jnp.tensordot(Ovlp_inv1, proj, axes=(-1, 0))
             proj = jnp.tensordot(proj, ms.conj(), axes=(0, 0))
     sz = int(np.prod(ms.shape[:-1])) if left else int(np.prod(ms.shape[1:]))
-    eye = jnp.eye(sz, dtype=proj.dtype).reshape(proj.shape)
+    eye = safe_eye(sz, dtype=proj.dtype).reshape(proj.shape)
     return eye - proj
 
 

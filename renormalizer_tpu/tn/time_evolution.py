@@ -21,7 +21,7 @@ import scipy.linalg
 
 from renormalizer_tpu.lib.solvers import expm_krylov, solve_ivp
 from renormalizer_tpu.mps.lib import compressed_sum
-from renormalizer_tpu.ops.contract import einsum
+from renormalizer_tpu.ops.contract import einsum, safe_eye as _safe_eye
 from renormalizer_tpu.tn.hop_expr import hop_expr0, hop_expr1, hop_expr2
 from renormalizer_tpu.tn.node import TreeNodeTensor
 from renormalizer_tpu.tn.tree import EVOLVE_METHODS, TTNEnviron, TTNO, TTNS
@@ -57,7 +57,7 @@ def time_derivative_vmf(ttns: TTNS, ttno: TTNO):
             deriv = einsum(
                 "bf,bg,fh->gh",
                 deriv,
-                jnp.eye(proj.shape[0], dtype=proj.dtype) - proj,
+                _safe_eye(proj.shape[0], dtype=proj.dtype) - proj,
                 jnp.asarray(ovlp_inv.T),
             )
         qnmask = ttns.get_qnmask(node).reshape(deriv.shape)
