@@ -539,12 +539,19 @@ def expm_krylov_fused(formula, operands, dt, c0, max_m: int = 30):
     if is_cplx:
         from renormalizer_tpu.lib.split_complex import (
             expm_krylov_split, split_complex_enabled)
+        from renormalizer_tpu.ops.contract import eager_dtype_unify
 
         if split_complex_enabled():
             return expm_krylov_split(formula, operands, dt, c0, max_m)
         common = jnp.result_type(c0.dtype, *[o.dtype for o in operands])
-        c0 = c0.astype(common)
-        operands = [o.astype(common) for o in operands]
+        # the Lanczos basis must be complex even when c0 starts real
+        # (first real-time step from a real state); the MPO operands stay
+        # real and promote inside the fused graph unless the legacy eager
+        # mitigation is requested (see ops.contract.eager_dtype_unify)
+        if c0.dtype != common:
+            c0 = c0.astype(common)
+        if eager_dtype_unify():
+            operands = [o.astype(common) for o in operands]
     m = int(min(max_m, c0.size))
     mesh = get_global_mesh()
     operand_shapes = (
@@ -565,6 +572,81 @@ def expm_krylov_fused(formula, operands, dt, c0, max_m: int = 30):
         dt = dt.real if dt.imag == 0 else dt
     return fn(safe_asarray(dt), reshard(c0),
               *[reshard(o) for o in operands])
+
+
+# ---------------------------------------------------------------------------
+# fused TDVP-PS site update (trivial-qn fast path)
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=512)
+def _tdvp_ps_site_factory(formula1: str, env_formula: str, formula0: str,
+                          cshape: Tuple[int, ...], m: int, n: int,
+                          to_right: bool, has_backward: bool,
+                          m_max1: int, m_max0: int):
+    """ONE jitted computation for a full TDVP-PS site visit when the local
+    coefficient matrix is a single full quantum-number sector (spin-boson
+    chains, any model without conserved charges): forward Lanczos expm ->
+    economy QR split -> environment update -> backward bond expm ->
+    neighbor rotation.  The unfused path costs ~8 dispatches/site at ~1 ms
+    relay latency each; this is the TDVP analog of the DMRG sweep's
+    zero-sync static selection."""
+
+    @jax.jit
+    def run(dt, c, L, W, R, nbr):
+        hop1 = _einsum_hop(formula1, (L, W, R), cshape)
+        w1, _ = _lanczos_expm(hop1, dt, c.ravel(), m_max1)
+        cmat = w1.reshape(m, n)
+        if to_right:
+            q, rr = jnp.linalg.qr(cmat)            # (m,k), (k,n)
+            site = q.reshape(cshape[:-1] + (-1,))
+            env_in, bond = q, rr
+        else:
+            q, rr = jnp.linalg.qr(cmat.T)          # (n,k), (k,m)
+            site = q.T.reshape((-1,) + cshape[1:])
+            env_in, bond = q.T, rr.T               # (k,n), (m,k)
+        new_env = jnp.einsum(
+            env_formula, L if to_right else R,
+            site.conj(), W, site, optimize="optimal")
+        if not has_backward:
+            return site, new_env, nbr
+        if to_right:
+            hop0 = _einsum_hop(formula0, (new_env, R), bond.shape)
+        else:
+            hop0 = _einsum_hop(formula0, (L, new_env), bond.shape)
+        w0, _ = _lanczos_expm(hop0, -dt, bond.ravel(), m_max0)
+        bond_t = w0.reshape(bond.shape)
+        if to_right:
+            nbr_new = jnp.tensordot(bond_t, nbr, axes=1)
+        else:
+            nbr_new = jnp.tensordot(nbr, bond_t, axes=1)
+        return site, new_env, nbr_new
+
+    return run
+
+
+def tdvp_ps_site_fused(dt, c, ltensor, w, rtensor, neighbor, cshape,
+                       m: int, n: int, to_right: bool, has_backward: bool,
+                       max_m: int = 30):
+    """Driver for :func:`_tdvp_ps_site_factory`; see the factory docstring.
+    ``m``/``n`` are the QR split dimensions (host-known).  Returns
+    ``(site_tensor, new_env, new_neighbor)`` as device arrays."""
+    from renormalizer_tpu.ops.contract import (
+        _ENV_FORMULAS, _HOP_FORMULAS, safe_asarray)
+
+    formula1 = _HOP_FORMULAS[(1, False, False)][0]
+    formula0 = _HOP_FORMULAS[(0, False, False)][0]
+    env_formula = _ENV_FORMULAS[("L" if to_right else "R", 3)]
+    k = min(m, n)
+    fn = _tdvp_ps_site_factory(
+        formula1, env_formula, formula0, tuple(cshape), m, n,
+        bool(to_right), bool(has_backward),
+        int(min(max_m, m * n)), int(min(max_m, k * (n if to_right else m))),
+    )
+    if not isinstance(dt, jax.Array):
+        dt = complex(dt)
+        dt = dt.real if dt.imag == 0 else dt
+    return fn(safe_asarray(dt), safe_asarray(c), safe_asarray(ltensor),
+              safe_asarray(w), safe_asarray(rtensor), safe_asarray(neighbor))
 
 
 # ---------------------------------------------------------------------------

@@ -50,7 +50,10 @@ class Environ:
     def _build(self, mps, mpo, domain, mps_conj):
         assert domain in ("L", "R", None)
         if mps_conj is None:
-            mps_conj = mps.conj()
+            # bra = ket*: conjugation happens inside the jitted environment
+            # update (contract_one_site), not by materializing a conjugated
+            # MPS (N extra dispatches per Environ build)
+            mps_conj = [None] * len(mps)
         if domain is None:
             self._build(mps, mpo, "L", mps_conj)
             self._build(mps, mpo, "R", mps_conj)
@@ -91,17 +94,14 @@ class Environ:
             itensor = self.sentinel
             sites = range(siteidx + 1) if domain == "L" else range(len(mps) - 1, siteidx - 1, -1)
             for i in sites:
-                conj = mps_conj[i]
-                itensor = self._contract(itensor, mps, mpo, i, domain, conj if conj is not None else mps[i].conj())
+                itensor = self._contract(itensor, mps, mpo, i, domain, mps_conj[i])
             return itensor
         # System
         if itensor is None:
             offset = -1 if domain == "L" else 1
             itensor = self.read(domain, siteidx + offset)
-        conj = mps_conj[siteidx]
         itensor = self._contract(
-            itensor, mps, mpo, siteidx, domain,
-            conj if conj is not None else mps[siteidx].conj(),
+            itensor, mps, mpo, siteidx, domain, mps_conj[siteidx]
         )
         self.write(domain, siteidx, itensor)
         return itensor

@@ -929,7 +929,10 @@ class MatrixProduct:
     # --- algebra -----------------------------------------------------------------
     @property
     def mp_norm(self) -> float:
-        res = self.conj().dot(self).real
+        from renormalizer_tpu.ops.contract import chain_overlap
+
+        # conj happens inside the fused chain: no N-tensor conj + copy
+        res = chain_overlap(list(self), list(self), conj_first=True).real
         if res < 0:
             assert np.abs(res) < 1e-8
             res = 0
@@ -1000,24 +1003,13 @@ class MatrixProduct:
 
     def dot(self, other: "MatrixProduct") -> complex:
         """Overlap <self*|other> with both taken as-is
-        (reference ``mp.py:933-956``)."""
+        (reference ``mp.py:933-956``).  The whole transfer-matrix chain is
+        one jitted dispatch + one scalar fetch (the per-site dispatch chain
+        dominated TDVP step time on the relay)."""
         assert len(self) == len(other)
-        from renormalizer_tpu.ops.contract import einsum
+        from renormalizer_tpu.ops.contract import chain_overlap
 
-        e0 = jnp.eye(1, 1, dtype=backend.real_dtype)
-        for mt1, mt2 in zip(self, other):
-            e0 = tensordot1(e0, mt2)
-            # einsum (not raw tensordot): the funnel lowers complex
-            # contractions to real arithmetic for the tunneled TPU
-            if mt1.ndim == 3:
-                e0 = einsum("abc,abd->dc", e0, mt1)
-            elif mt1.ndim == 4:
-                e0 = einsum("abcd,abce->ed", e0, mt1)
-            else:
-                raise AssertionError
-        from renormalizer_tpu.ops.contract import asnumpy
-
-        return complex(asnumpy(e0)[0, 0])
+        return chain_overlap(list(self), list(other))
 
     def dot_ob(self, other: "MatrixProduct"):
         """Open-boundary dot with bond dimension > 1 at the edges

@@ -57,6 +57,44 @@ from renormalizer_tpu.utils.utils import calc_vn_entropy, calc_vn_entropy_dm
 logger = logging.getLogger(__name__)
 
 
+def _complex_mpo_twin(mpo):
+    """Cached complex-dtype twin of a (real) Hamiltonian MPO.
+
+    Non-MatrixProduct Hamiltonians (StackedMpo, time-dependent callables)
+    pass through untouched.
+
+    Complex evolution contracts the real MPO cores against complex states
+    thousands of times per run; promoting them eagerly per contraction is
+    one convert dispatch each (~1 ms on the relay, 0.23 s of a 0.64 s TDVP
+    step in the round-4 profile), while promoting in-graph SIGABRTs the
+    relay's compiler.  Convert once, reuse forever."""
+    if not hasattr(mpo, "to_complex") or not hasattr(mpo, "is_complex"):
+        return mpo
+    if mpo.is_complex:
+        return mpo
+    twin = getattr(mpo, "_complex_twin", None)
+    if twin is None:
+        twin = mpo.to_complex()
+        mpo._complex_twin = twin
+    return twin
+
+
+def _trivial_sector(qnbigl, qnbigr, qntot):
+    """The single quantum number covering the WHOLE local coefficient
+    matrix, or None when real sector structure exists.  Models without
+    conserved charges (e.g. spin-boson) always qualify, which unlocks the
+    fused one-dispatch TDVP-PS site update."""
+    qntot = np.atleast_1d(np.asarray(qntot))
+    ql = np.asarray(qnbigl).reshape(-1, len(qntot))
+    nl = ql[0]
+    if not (ql == nl).all():
+        return None
+    qr_ = np.asarray(qnbigr).reshape(-1, len(qntot))
+    if not (qr_ == qntot - nl).all():
+        return None
+    return tuple(nl)
+
+
 def adaptive_tdvp(fun):
     """Adaptive-dt wrapper: evolve dt/2 twice vs dt once, step-doubling
     p-controller (J. Chem. Phys. 146, 174107 (2017); reference
@@ -636,6 +674,8 @@ class Mps(MatrixProduct):
     def _evolve_prop_and_compress(self, mpo, evolve_dt) -> "Mps":
         """Taylor propagator with compressed sums
         (reference ``mps.py:794-885``)."""
+        if self.is_complex:
+            mpo = _complex_mpo_twin(mpo)
         config = self.evolve_config
         assert evolve_dt is not None
         propagation_c = config.taylor_config.coeff
@@ -689,6 +729,8 @@ class Mps(MatrixProduct):
     def _evolve_prop_and_compress_tdrk4(self, mpo, evolve_dt) -> "Mps":
         """Classical RK4 for (possibly) time-dependent H
         (reference ``mps.py:664-699``)."""
+        if self.is_complex:
+            mpo = _complex_mpo_twin(mpo)
         mpo_t = _normalize_mpo_t(mpo)
         k1 = mpo_t(0).contract(self).scale(-1j)
         tmp = self + k1.scale(0.5 * evolve_dt)
@@ -711,6 +753,8 @@ class Mps(MatrixProduct):
     def _evolve_prop_and_compress_tdrk(self, mpo, evolve_dt) -> "Mps":
         """General explicit RK with Butcher tableau, adaptive or fixed dt
         (reference ``mps.py:701-792``)."""
+        if self.is_complex:
+            mpo = _complex_mpo_twin(mpo)
         mpo_t = _normalize_mpo_t(mpo)
         rk = self.evolve_config.rk_config
         a, b, c = rk.tableau
@@ -784,19 +828,57 @@ class Mps(MatrixProduct):
             mps = self.copy()
         else:
             mps = self.to_complex()
+        if mps.is_complex:
+            mpo = _complex_mpo_twin(mpo)
         environ = Environ(mps, mpo)
+        from renormalizer_tpu.lib.solvers import tdvp_ps_site_fused
+        from renormalizer_tpu.lib.split_complex import split_complex_enabled
+        from renormalizer_tpu.parallel.mesh import get_global_mesh
+
+        allow_fused = (
+            not split_complex_enabled() and get_global_mesh() is None
+            and trunc_device.linalg_enabled(mps[0])
+        )
         for _ in range(2):
             for imps in mps.iter_idx_list(full=True):
                 system = "L" if mps.to_right else "R"
                 l_array = environ.read("L", imps - 1)
                 r_array = environ.read("R", imps + 1)
                 shape = list(mps[imps].shape)
+                qnbigl, qnbigr, _ = mps._get_big_qn([imps])
+                has_backward = (imps != len(mps) - 1) if mps.to_right else (imps != 0)
+                sec = _trivial_sector(qnbigl, qnbigr, mps.qntot) \
+                    if allow_fused and has_backward and mps[imps].ndim == 3 \
+                    else None
+                if sec is not None:
+                    # trivial-qn fast path: expm + QR + env update +
+                    # backward bond expm + neighbor rotation in ONE dispatch
+                    m = int(np.prod(qnbigl.shape[:-1]))
+                    n = int(np.prod(qnbigr.shape[:-1]))
+                    k = min(m, n)
+                    nbr = imps + 1 if mps.to_right else imps - 1
+                    site, new_env, new_nbr = tdvp_ps_site_fused(
+                        -1j * evolve_dt / 2, mps[imps], l_array, mpo[imps],
+                        r_array, mps[nbr], tuple(shape), m, n,
+                        mps.to_right, True,
+                    )
+                    mps[imps] = site
+                    mps[nbr] = new_nbr
+                    if mps.to_right:
+                        mps.qn[imps + 1] = np.array([sec] * k)
+                        mps.qnidx = imps + 1
+                        environ.write("L", imps, new_env)
+                    else:
+                        nr = tuple(np.atleast_1d(mps.qntot) - np.asarray(sec))
+                        mps.qn[imps] = np.array([nr] * k)
+                        mps.qnidx = imps - 1
+                        environ.write("R", imps, new_env)
+                    continue
                 formula, operands = hop_spec(l_array, r_array, [mpo[imps]], shape)
                 mps_t = expm_krylov_fused(
                     formula, operands, -1j * evolve_dt / 2, mps[imps]
                 )
 
-                qnbigl, qnbigr, _ = mps._get_big_qn([imps])
                 if trunc_device.linalg_enabled(mps_t):
                     u, qnlset, v, qnrset = trunc_device.qr_qn_device(
                         mps_t, qnbigl, qnbigr, mps.qntot, system
@@ -837,6 +919,8 @@ class Mps(MatrixProduct):
             mps = self.copy()
         else:
             mps = self.to_complex()
+        if mps.is_complex:
+            mpo = _complex_mpo_twin(mpo)
         environ = Environ(mps, mpo)
         for _ in range(2):
             for imps in mps.iter_idx_list(full=False):
@@ -875,6 +959,8 @@ class Mps(MatrixProduct):
         """TDVP variable mean field: one global adaptive RK45 over all masked
         site coefficients with per-site projectors and regularized inverses
         (arXiv:1907.12044; reference ``mps.py:887-1094``)."""
+        if not np.iscomplex(evolve_dt) or self.is_complex:
+            mpo = _complex_mpo_twin(mpo)
         mpo_t = _normalize_mpo_t(mpo)
         imag_time = np.iscomplex(evolve_dt)
         if imag_time:
@@ -1033,6 +1119,8 @@ class Mps(MatrixProduct):
     def _evolve_tdvp_mu_cmf(self, mpo, evolve_dt) -> "Mps":
         """TDVP constant mean field with matrix-unfolding regularization;
         2nd-order via midpoint environments (reference ``mps.py:1096-1265``)."""
+        if not np.iscomplex(evolve_dt) or self.is_complex:
+            mpo = _complex_mpo_twin(mpo)
         if self.evolve_config.tdvp_cmf_c_trapz:
             assert self.evolve_config.tdvp_cmf_midpoint
         imag_time = np.iscomplex(evolve_dt)
@@ -1270,6 +1358,13 @@ def _mu_regularize(s, epsilon=1e-10):
 
 def normalize(tn, kind):
     """Shared normalization for MPS and TTNS (reference ``mps.py:2025-2059``)."""
+    if kind == "mps_only" and hasattr(tn, "mp_norm"):
+        # fetch-free: the norm is only used to rescale the state, so it can
+        # stay on device (one fused dispatch instead of a blocking fetch)
+        from renormalizer_tpu.ops.contract import normalize_chain_device
+
+        tn[tn.qnidx] = normalize_chain_device(list(tn), tn.qnidx)
+        return tn
     if hasattr(tn, "mp_norm"):
         tn_norm = tn.mp_norm
     elif hasattr(tn, "ttns_norm"):

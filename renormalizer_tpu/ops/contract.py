@@ -110,6 +110,11 @@ def safe_asarray(x, dtype=None):
         jnp.dtype(dtype), jnp.complexfloating)
     is_complex_host = isinstance(x, complex) or (
         isinstance(x, (np.ndarray, np.generic)) and np.iscomplexobj(x))
+    if (isinstance(x, complex) and dtype is None
+            and jax.default_backend() != "cpu"):
+        # scalar fast path: evolution uploads the SAME -i*dt every site;
+        # cache the device scalar instead of re-uploading per call
+        return _cached_complex_scalar(x)
     if (want_complex or is_complex_host) and jax.default_backend() != "cpu":
         arr = np.asarray(x, dtype=dtype) if dtype is not None else np.asarray(x)
         re = jnp.asarray(np.ascontiguousarray(arr.real))
@@ -127,6 +132,16 @@ def _complex_combine(shape, dtype_name):
         return jax.lax.complex(re, im)
 
     return run
+
+
+@lru_cache(maxsize=64)
+def _cached_complex_scalar(value: complex):
+    import numpy as np
+
+    arr = np.asarray(value)
+    re = jnp.asarray(np.ascontiguousarray(arr.real))
+    im = jnp.asarray(np.ascontiguousarray(arr.imag))
+    return _complex_combine(re.shape, str(re.dtype))(re, im)
 
 
 def safe_eye(n, dtype=None):
@@ -150,6 +165,16 @@ def safe_filled(shape, value, dtype=None):
         return _complex_combine(tuple(shape) if hasattr(shape, "__len__")
                                 else (shape,), str(rdt))(re, im)
     return jnp.full(shape, value, dtype=dtype)
+
+
+def eager_dtype_unify() -> bool:
+    """Eager mixed-dtype promotion before jitted contractions (default ON:
+    the tunneled TPU's compiler SIGABRTs on some mixed real/complex fused
+    einsums).  ``RENO_EAGER_DTYPE_UNIFY=0`` lets XLA promote in-graph on
+    stacks where that is safe."""
+    import os
+
+    return os.environ.get("RENO_EAGER_DTYPE_UNIFY", "1") != "0"
 
 
 def _is_oom(exc: Exception) -> bool:
@@ -210,8 +235,17 @@ def einsum(formula: str, *arrays):
             ]
             arrays = _harmonize_devices(arrays)
             return _einsum_split_jit(formula, len(arrays))(*arrays)
-        common = jnp.result_type(*[a.dtype for a in arrays])
-        arrays = [a.astype(common) for a in arrays]
+        if eager_dtype_unify():
+            # mixed real/complex operands inside ONE jitted einsum crash
+            # the relay's compiler (SIGABRT, round-2 ElementIsComplex —
+            # re-confirmed round 4), so promotion happens eagerly here.
+            # The eager astype is a no-op dispatch when dtypes already
+            # match; hot paths avoid the real converts entirely by handing
+            # evolution a cached complex twin of the MPO
+            # (``mps.complex_mpo``), making this loop free at steady state.
+            common = jnp.result_type(*[a.dtype for a in arrays])
+            arrays = [a if a.dtype == common else a.astype(common)
+                      for a in arrays]
     arrays = _harmonize_devices(arrays)
     try:
         return _einsum_jit(formula, len(arrays))(*arrays)
@@ -245,12 +279,38 @@ _ENV_FORMULAS = {
 }
 
 
+@lru_cache(maxsize=32)
+def _env_update_selfconj_jit(formula: str):
+    """Environment update with the bra = ket*: the conjugation happens
+    inside the jitted graph (an eager .conj() is one extra dispatch per
+    site on the relay)."""
+
+    @jax.jit
+    def fn(environ, mo, ms):
+        return jnp.einsum(formula, environ, ms.conj(), mo, ms,
+                          optimize="optimal")
+
+    return fn
+
+
 def contract_one_site(environ, ms, mo, domain, ms_conj=None):
     """Absorb one (mps, mpo, mps*) column into an environment tensor.
     4-dim ``ms`` (MpDm) traces the ancilla index."""
-    if ms_conj is None:
-        ms_conj = ms.conj()
     formula = _ENV_FORMULAS[(domain, ms.ndim)]
+    if ms_conj is None:
+        from renormalizer_tpu.lib.split_complex import split_complex_enabled
+
+        ops = _harmonize_devices(
+            [safe_asarray(environ), safe_asarray(mo), safe_asarray(ms)])
+        any_cplx = any(jnp.issubdtype(a.dtype, jnp.complexfloating)
+                       for a in ops)
+        uniform = len({str(a.dtype) for a in ops}) == 1
+        # the fused in-graph-conj path needs uniform dtypes (mixed fused
+        # einsums SIGABRT the relay compiler) and native complex support
+        if uniform and not (any_cplx and split_complex_enabled()):
+            return _env_update_selfconj_jit(formula)(*ops)
+        ms_conj = ops[2].conj()
+        environ, mo, ms = ops
     return einsum(formula, environ, ms_conj, mo, ms)
 
 
@@ -438,6 +498,63 @@ def einsum_interleaved(*args):
     lhs = ",".join(to_symbols(labels) for labels in index_lists)
     rhs = to_symbols(out_indices)
     return einsum(lhs + "->" + rhs, *tensors)
+
+
+# --- fused chain overlap ---------------------------------------------------
+
+@lru_cache(maxsize=64)
+def _chain_overlap_jit(n: int, ndim: int, conj_first: bool):
+    """One jitted computation for the full transfer-matrix chain
+    ``<mts1 (*)| mts2>``: a TDVP step computes the state norm after every
+    evolve, and the per-site dispatch chain (2 ops x N sites, each ~1ms on
+    the relay) dominated the step wall time.  jit keys on shapes/dtypes,
+    so one executable per (chain shape, dtype) pair."""
+    contract = {3: "abc,abd->dc", 4: "abcd,abce->ed"}[ndim]
+
+    @jax.jit
+    def run(*tensors):
+        mts1, mts2 = tensors[:n], tensors[n:]
+        e0 = jnp.eye(1, 1, dtype=jnp.result_type(*[t.dtype for t in tensors]))
+        for mt1, mt2 in zip(mts1, mts2):
+            e0 = jnp.tensordot(e0, mt2, axes=1)
+            e0 = jnp.einsum(contract, e0, mt1.conj() if conj_first else mt1)
+        return e0[0, 0]
+
+    return run
+
+
+def chain_overlap_device(mts1, mts2, conj_first: bool = False):
+    """Device-scalar transfer-matrix chain (no host fetch)."""
+    mts1 = [safe_asarray(t) for t in mts1]
+    mts2 = [safe_asarray(t) for t in mts2]
+    assert len(mts1) == len(mts2) and len({t.ndim for t in mts1}) == 1
+    fn = _chain_overlap_jit(len(mts1), mts1[0].ndim, conj_first)
+    return fn(*mts1, *mts2)
+
+
+def chain_overlap(mts1, mts2, conj_first: bool = False) -> complex:
+    """``sum_i <mts1_i (conj) | mts2_i>`` transfer-matrix chain in ONE
+    device dispatch + one scalar fetch."""
+    return complex(asnumpy(chain_overlap_device(mts1, mts2, conj_first)))
+
+
+@lru_cache(maxsize=64)
+def _rsqrt_scale_jit(ndim: int):
+    @jax.jit
+    def run(x, norm2):
+        return x * jax.lax.rsqrt(jnp.maximum(
+            jnp.real(norm2), jnp.finfo(jnp.real(norm2).dtype).tiny))
+
+    return run
+
+
+def normalize_chain_device(mts, qnidx: int):
+    """Fetch-free state normalization: compute ||psi||^2 on device and
+    scale the canonical-center tensor by its rsqrt — zero host syncs (the
+    per-step norm fetch was 0.11 s of a 0.20 s TDVP step over the relay).
+    Returns the new center tensor."""
+    norm2 = chain_overlap_device(mts, mts, conj_first=True)
+    return _rsqrt_scale_jit(mts[qnidx].ndim)(safe_asarray(mts[qnidx]), norm2)
 
 
 # --- misc jitted helpers --------------------------------------------------
