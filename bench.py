@@ -142,12 +142,16 @@ def bench_tpu():
         import renormalizer_tpu.lib.solvers as ls
 
         total = 0
+        import renormalizer_tpu.ops.jacobi as oj
+
         for mod, names in (
             (td, ("_sector_factory", "_sector_factory_bucketed",
-                  "_sector_factory_batched", "_qr_factory", "_apply_factory",
+                  "_sector_factory_batched", "_sector_factory_masked",
+                  "_qr_factory", "_apply_factory",
                   "_gather_pair_factory", "_frob2_factory")),
             (oc, ("_einsum_jit",)),
             (ls, ("_davidson_factory", "_expm_factory")),
+            (oj, ("_jacobi_factory",)),
         ):
             for name in names:
                 fn = getattr(mod, name, None)

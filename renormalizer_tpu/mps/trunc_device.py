@@ -484,14 +484,46 @@ def _candidate_core(l1p: int, eigh_impl: str, orth_impl: str):
     return core
 
 
+def _eigh_xla_padded(g):
+    """XLA eigh of a PSD Rayleigh-Ritz Gram matrix, zero-padded to the next
+    lane-aligned (128-multiple) size; returns the TOP ``n0`` eigenpairs in
+    ascending order, restricted to the original coordinates.
+
+    QDWH on TPU is catastrophically slow at unaligned sizes (157 ms vs 7 ms
+    at 256^2, v5e) — padding recovers the aligned speed.  Exactness: the
+    padded rows/columns are exact zeros, so the zero eigenspace is spanned
+    by coordinate axes and never mixes with the genuine spectrum — the
+    ``delta`` diagonal shift in :func:`_candidate_core` keeps every genuine
+    eigenvalue >= delta > 0, so the dropped bottom ``n - n0`` entries are
+    all exact structural/pad zeros and the kept eigenvectors have exactly
+    zero support on the pad coordinates."""
+    import jax.numpy as jnp
+
+    n0 = g.shape[-1]
+    n = -(-n0 // 128) * 128
+    if n == n0:
+        return jnp.linalg.eigh(g)
+    pad = [(0, 0)] * (g.ndim - 2) + [(0, n - n0), (0, n - n0)]
+    lam, w = jnp.linalg.eigh(jnp.pad(g, pad))
+    return lam[..., n - n0:], w[..., :n0, n - n0:]
+
+
 def _eigh_one(g, eigh_impl: str):
-    """Eigendecomposition of one symmetric matrix (ascending order)."""
+    """Eigendecomposition of one symmetric matrix (ascending order).
+
+    Routes ``eigh_impl == "jacobi"`` through the Pallas kernel only when
+    its scoped-VMEM footprint fits the 16 MiB hardware limit; above that
+    Mosaic rejects the whole executable at compile time (hit at Gram size
+    1056/f32 in the M=512 DMRG bench), so large problems fall back to the
+    lane-aligned padded XLA eigh."""
     import jax.numpy as jnp
 
     if eigh_impl == "jacobi":
-        from renormalizer_tpu.ops.jacobi import jacobi_eigh
+        from renormalizer_tpu.ops.jacobi import jacobi_eigh, jacobi_fits_vmem
 
-        return jacobi_eigh(g)
+        if jacobi_fits_vmem(g.shape[0], g.dtype):
+            return jacobi_eigh(g)
+        return _eigh_xla_padded(g)
     return jnp.linalg.eigh(g)
 
 
@@ -506,9 +538,12 @@ def _eigh_batched(g_b, eigh_impl: str):
     import jax.numpy as jnp
 
     if eigh_impl == "jacobi":
-        from renormalizer_tpu.ops.jacobi import jacobi_eigh
+        from renormalizer_tpu.ops.jacobi import jacobi_eigh, jacobi_fits_vmem
 
-        return jax.lax.map(lambda g: jacobi_eigh(g), g_b)
+        if jacobi_fits_vmem(g_b.shape[-1], g_b.dtype):
+            return jax.lax.map(lambda g: jacobi_eigh(g), g_b)
+        if g_b.shape[-1] % 128 != 0:
+            return _eigh_xla_padded(g_b)
     return jax.vmap(jnp.linalg.eigh)(g_b)
 
 
@@ -688,13 +723,15 @@ def _sector_factory(m: int, n: int, ml: int, nr: int, l1: int, l2: int,
         q = orth(_colnormalize(y))
         b = q.conj().T @ a  # (l, rb)
         g = b @ b.conj().T
-        if eigh_impl == "jacobi":
-            from renormalizer_tpu.ops.jacobi import jacobi_eigh
-
-            lam, w = jacobi_eigh(g)
-        else:
-            lam, w = jnp.linalg.eigh(g)
-        lam = jnp.nan_to_num(jnp.maximum(lam[::-1], 0))
+        # unbiased spectral shift (cf. _candidate_core): guarantees every
+        # genuine eigenvalue sits strictly above the exact zeros that the
+        # lane-aligned padded eigh fallback appends, so the top-l window it
+        # returns can never trade a genuine eigenvector for a pad axis
+        finfo = jnp.finfo(jnp.zeros((), dtype=g.dtype).real.dtype)
+        delta = 4 * finfo.eps * jnp.trace(g).real + finfo.tiny
+        g = g + delta * jnp.eye(l_total, dtype=g.dtype)
+        lam, w = _eigh_one(g, eigh_impl)
+        lam = jnp.nan_to_num(jnp.maximum(lam[::-1] - delta, 0))
         u = q @ w[:, ::-1]  # (ra, l) candidates, descending
         scatter_idx = gc if transpose else gr
         out = jnp.zeros((rows_out, l_total), dtype=cmat.dtype)

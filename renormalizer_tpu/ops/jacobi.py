@@ -51,6 +51,39 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+def _vmem_budget_bytes() -> int:
+    """Scoped-VMEM budget the Jacobi kernel may plan against.  The TPU
+    hardware limit is 16 MiB of scoped vmem per kernel; default to 14 MiB
+    to leave headroom for Mosaic's fused-expression temporaries.
+    Override with ``RENO_PALLAS_EIGH_VMEM_MB``."""
+    import os
+
+    mb = os.environ.get("RENO_PALLAS_EIGH_VMEM_MB", "")
+    try:
+        return int(float(mb) * 2**20) if mb else 14 * 2**20
+    except ValueError:
+        return 14 * 2**20
+
+
+def jacobi_vmem_bytes(n0: int, dtype) -> int:
+    """Scoped-VMEM footprint estimate of :func:`jacobi_eigh` at matrix size
+    ``n0``: inputs (4 quadrants = n^2) + outputs (eigvec halves = n^2 + small)
+    + scratch (matrix quadrants = n^2), i.e. ~3 n^2 elements, measured to
+    match Mosaic's reported stack allocation within ~1% (v5e)."""
+    n = max(_round_up(int(n0), 16), 16)
+    itemsize = np.dtype(dtype).itemsize
+    return (3 * n * n + 8 * n) * itemsize
+
+
+def jacobi_fits_vmem(n0: int, dtype) -> bool:
+    """Whether the Pallas Jacobi kernel compiles at this size.  Above the
+    scoped-VMEM budget Mosaic aborts the whole executable with a compile
+    error (measured: n=1056 f32 needed 17.99 MiB against the 16 MiB limit
+    before the scratch reduction), so callers must fall back to XLA's QDWH
+    eigh — slower at unaligned sizes, but it always compiles."""
+    return jacobi_vmem_bytes(n0, dtype) <= _vmem_budget_bytes()
+
+
 @lru_cache(maxsize=128)
 def _jacobi_factory(n: int, sweeps: int, interpret: bool):
     """Jitted pallas eigensolver for (n, n) symmetric float32/float64,
@@ -80,8 +113,13 @@ def _jacobi_factory(n: int, sweeps: int, interpret: bool):
     max_sweeps = sweeps + 16
 
     def kernel(tl_ref, tr_ref, bl_ref, br_ref,
-               w_ref, vl_out, vr_out, resid_ref,
-               tl_s, tr_s, bl_s, br_s, vl_s, vr_s):
+               w_ref, vl_s, vr_s, resid_ref,
+               tl_s, tr_s, bl_s, br_s):
+        # the eigenvector halves accumulate directly in the OUTPUT refs
+        # (vl_s/vr_s): output VMEM is read-write inside the kernel, and
+        # dropping the two (n, m) scratch twins cuts the scoped-vmem
+        # footprint from ~4 n^2 to ~3 n^2 bytes — the difference between
+        # compiling and a Mosaic stack OOM at n=1056 f32 (16 MiB limit)
         dtype = tl_ref.dtype
         tl_s[:] = tl_ref[:]
         tr_s[:] = tr_ref[:]
@@ -191,8 +229,6 @@ def _jacobi_factory(n: int, sweeps: int, interpret: bool):
         # natural index order is [top rows | bottom rows]
         w_ref[0:1] = jnp.sum(tl_s[:] * eye_m, axis=1)[None]
         w_ref[1:2] = jnp.sum(br_s[:] * eye_m, axis=1)[None]
-        vl_out[:] = vl_s[:]
-        vr_out[:] = vr_s[:]
         # relative off-diagonal residual: callers can assert convergence
         resid_ref[:] = jnp.sqrt(off_final / (off0 + diag0 + tol2))[None]
 
@@ -219,8 +255,6 @@ def _jacobi_factory(n: int, sweeps: int, interpret: bool):
                 pltpu.VMEM((m, m), dtype),
                 pltpu.VMEM((m, m), dtype),
                 pltpu.VMEM((m, m), dtype),
-                pltpu.VMEM((n, m), dtype),
-                pltpu.VMEM((n, m), dtype),
             ],
             interpret=interpret,
         )(a[:m, :m], a[:m, m:], a[m:, :m], a[m:, m:])
