@@ -178,7 +178,7 @@ def _install_complex_fetch_shim():
 
     from functools import lru_cache
 
-    @lru_cache(maxsize=256)
+    @lru_cache(maxsize=None)
     def split_fetch(shape, dtype_name):
         import jax.numpy as jnp
 

@@ -59,7 +59,7 @@ class CvMpDm(MpDm):
         return pairs.reshape(len(qn), len(qn), 2)
 
 
-@lru_cache(maxsize=128)
+@lru_cache(maxsize=None)
 def _ft_cg_factory(cshape, eta: float, tol: float):
     dim = int(np.prod(cshape))
 

@@ -27,7 +27,7 @@ from renormalizer_tpu.utils import OptimizeConfig
 logger = logging.getLogger(__name__)
 
 
-@lru_cache(maxsize=128)
+@lru_cache(maxsize=None)
 def _cg_factory(formula: str, cshape, eta: float, tol: float):
     dim = int(np.prod(cshape))
 
@@ -53,28 +53,16 @@ class SpectraZtCV(SpectraCv):
     r"""Zero-T DDMRG spectrum (see :class:`SpectraCv` for arguments;
     ``procedure_gs`` controls the ground-state DMRG)."""
 
-    def __init__(
-        self,
-        model,
-        spectratype,
-        m_max,
-        eta,
-        h_mpo=None,
-        method="1site",
-        procedure_cv=None,
-        rtol=1e-5,
-        b_mps=None,
-        e0=None,
-        cv_mps=None,
-        procedure_gs=None,
-    ):
+    def __init__(self, model, spectratype, m_max, eta, h_mpo=None,
+                 method="1site", procedure_cv=None, rtol=1e-5, b_mps=None,
+                 e0=None, cv_mps=None, procedure_gs=None):
         self.procedure_gs = procedure_gs
+        self.a_oper = None
         super().__init__(
             model, spectratype, m_max, eta, h_mpo=h_mpo, method=method,
             procedure_cv=procedure_cv, rtol=rtol, b_mps=b_mps, e0=e0,
             cv_mps=cv_mps,
         )
-        self.a_oper = None
 
     def init_b_mps(self):
         """b = -eta * mu * |psi_0| via ground-state DMRG

@@ -144,7 +144,7 @@ def davidson(
 _OUT_OF_SECTOR = 1e10
 
 
-@lru_cache(maxsize=512)
+@lru_cache(maxsize=None)
 def _davidson_factory(formula: str, cshape: Tuple[int, ...], inverse: float,
                       tol: float, max_cycle: int, max_space: int,
                       mesh=None, operand_shapes=None, diag_mode: str = None):
@@ -490,7 +490,7 @@ def expm_krylov(hop: Callable, dt, v0, max_m: int = 30, tol: float = 1e-12):
     return _lanczos_expm(hop, safe_asarray(dt), v0, m_max)
 
 
-@lru_cache(maxsize=512)
+@lru_cache(maxsize=None)
 def _expm_factory(formula: str, cshape: Tuple[int, ...], max_m: int,
                   mesh=None, operand_shapes=None):
     sharded_hop = None
@@ -578,7 +578,7 @@ def expm_krylov_fused(formula, operands, dt, c0, max_m: int = 30):
 # fused TDVP-PS site update (trivial-qn fast path)
 # ---------------------------------------------------------------------------
 
-@lru_cache(maxsize=512)
+@lru_cache(maxsize=None)
 def _tdvp_ps_site_factory(formula1: str, env_formula: str, formula0: str,
                           cshape: Tuple[int, ...], m: int, n: int,
                           to_right: bool, has_backward: bool,

@@ -176,7 +176,7 @@ def _lanczos_expm_split(hop2, dtr, dti, v0_2, m_max):
     return beta0 * jnp.stack([out_r, out_i])
 
 
-@lru_cache(maxsize=256)
+@lru_cache(maxsize=None)
 def _expm_split_factory(formula: str, cshape: Tuple[int, ...], max_m: int,
                         complex_flags: Tuple[bool, ...]):
     formula2 = split_formula(formula, complex_flags)

@@ -17,6 +17,7 @@ differences:
 """
 
 import logging
+import os
 from typing import List, Union
 
 import jax.numpy as jnp
@@ -692,6 +693,16 @@ class MatrixProduct:
             plan = self._trunc_plans.get(plan_key)
             nvisit = plan[4] if (plan is not None and len(plan) > 4) else 0
             revalidate = trunc_device.static_revalidate_interval()
+            if revalidate:
+                # STAGGER the per-site revalidation phase: every site's plan
+                # arms in the same sweep, so with a uniform interval all ~2N
+                # plans would re-sync (one blocking relay RTT each, plus any
+                # selection-drift recompiles) in the SAME sweep — measured in
+                # round 4 as a few measured sweeps 7-21x slower than the
+                # rest.  A per-plan-key offset spreads the re-syncs across
+                # sweeps, bounding the per-sweep revalidation cost to ~one
+                # site.
+                revalidate += int.from_bytes(pattern[:2], "little") % revalidate
             if (plan is not None and plan[0] == pattern
                     and plan[2] is not None and plan[3] == layout
                     and not (revalidate and nvisit + 1 >= revalidate)):
@@ -786,6 +797,30 @@ class MatrixProduct:
         # sync visit, alternating forever (measured as whole sweeps
         # flip-flopping between 1 s and 25 s)
         sidx = sorted(sidx)
+        # Selection HYSTERESIS (round-5): at steady state the cross-sector
+        # allocation has near-degenerate ties, and a revalidation visit that
+        # re-derives the selection can flip between tied splits.  Every flip
+        # changes bond shapes and RECOMPILES every downstream executable
+        # (measured: one flipped site = +1 trace, +350-700 XLA compiles,
+        # a 0.7 s sweep becoming 3-28 s for several sweeps).  Keep the
+        # plan's frozen counts unless the fresh selection is MATERIALLY
+        # better (relative kept-weight improvement above tolerance).
+        if (use_async and plan is not None and plan[0] == pattern
+                and plan[2] is not None and plan[3] == layout):
+            nsec_l, l1p_l = layout
+            old_sidx = sorted(
+                i * l1p_l + k
+                for i, cnt in enumerate(plan[2]) for k in range(cnt)
+            )
+            if old_sidx != sidx and len(old_sidx) == len(sidx):
+                w = np.square(np.asarray(sigma, dtype=float))
+                w_old = w[old_sidx]
+                if np.all(np.asarray(sigma)[old_sidx] >= 0):
+                    gain = w[sidx].sum() - w_old.sum()
+                    rtol = float(os.environ.get(
+                        "RENO_TRUNC_HYSTERESIS", "1e-6"))
+                    if gain <= rtol * max(w_old.sum(), np.finfo(float).tiny):
+                        sidx = old_sidx
         if use_async and layout is not None:
             # Arm the static path for the next visit IF this selection is
             # exactly "top k_i of each sector" (it is whenever no sentinel

@@ -126,7 +126,7 @@ def compress_factors(coef_array, qnbigl, qnbigr, qntot, system: str,
     return u, sigma, qnl_list, v, sigma, qnr_list
 
 
-@lru_cache(maxsize=512)
+@lru_cache(maxsize=None)
 def _qr_factory(m: int, n: int, ml: int, nr: int, transpose: bool,
                 dtype_name: str):
     """Jitted per-sector economy QR (or RQ when ``transpose``), scattered back
@@ -282,7 +282,7 @@ def sketch_cap() -> int:
     return int(os.environ.get("RENO_TRUNC_SKETCH_CAP", "1024"))
 
 
-@lru_cache(maxsize=64)
+@lru_cache(maxsize=None)
 def _frob2_factory(shape: tuple, dtype_name: str):
     import jax
     import jax.numpy as jnp
@@ -579,7 +579,7 @@ def _bucketed_body(l1p: int, transpose: bool, rows_out: int,
     return run
 
 
-@lru_cache(maxsize=512)
+@lru_cache(maxsize=None)
 def _sector_factory_masked(m: int, n: int, nsec: int, l1p: int,
                            transpose: bool, dtype_name: str,
                            eigh_impl: str = "xla", orth_impl: str = "qr"):
@@ -633,7 +633,7 @@ def mask_budget() -> int:
     return int(os.environ.get("RENO_TRUNC_MASK_BUDGET", str(256 * 2**20)))
 
 
-@lru_cache(maxsize=512)
+@lru_cache(maxsize=None)
 def _sector_factory_bucketed(m: int, n: int, mlp: int, nrp: int, l1p: int,
                              transpose: bool, dtype_name: str,
                              eigh_impl: str = "xla", orth_impl: str = "qr"):
@@ -648,7 +648,7 @@ def _sector_factory_bucketed(m: int, n: int, mlp: int, nrp: int, l1p: int,
                                   orth_impl))
 
 
-@lru_cache(maxsize=512)
+@lru_cache(maxsize=None)
 def _sector_factory_batched(m: int, n: int, nsec: int, mlp: int, nrp: int,
                             l1p: int, transpose: bool, dtype_name: str,
                             eigh_impl: str = "xla", orth_impl: str = "qr"):
@@ -683,7 +683,7 @@ def _sector_factory_batched(m: int, n: int, nsec: int, mlp: int, nrp: int,
     return run
 
 
-@lru_cache(maxsize=512)
+@lru_cache(maxsize=None)
 def _sector_factory(m: int, n: int, ml: int, nr: int, l1: int, l2: int,
                     transpose: bool, dtype_name: str, want_v: bool = False,
                     eigh_impl: str = "xla", orth_impl: str = "qr"):
@@ -1162,14 +1162,14 @@ def candidates(coef_array, qnbigl, qnbigr, qntot, system: str, cap: int,
     return ret + (parts_v,) if want_v else ret
 
 
-@lru_cache(maxsize=512)
+@lru_cache(maxsize=None)
 def _device_key():
     import jax
 
     return jax.random.PRNGKey(backend.seed)
 
 
-@lru_cache(maxsize=512)
+@lru_cache(maxsize=None)
 def _gather_pair_factory(nparts: int):
     import jax
     import jax.numpy as jnp
@@ -1184,7 +1184,7 @@ def _gather_pair_factory(nparts: int):
     return run
 
 
-@lru_cache(maxsize=512)
+@lru_cache(maxsize=None)
 def _apply_factory(nparts: int, transpose: bool):
     import jax
     import jax.numpy as jnp

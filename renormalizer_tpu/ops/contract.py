@@ -15,7 +15,15 @@ import jax
 import jax.numpy as jnp
 
 
-@lru_cache(maxsize=256)
+# NOTE on cache bounds: every lru_cache here holds jitted closures.  An
+# eviction does not just free memory — it discards the closure's jit trace
+# cache, so the next call RETRACES and RE-LOWERS (tens of ms on host, and a
+# fresh XLA compile over the tunneled device unless the persistent compile
+# cache hits).  Round 4 bounded these caches (maxsize=256) and the DMRG
+# steady-state sweep regressed ~14x from exactly this churn; the caches are
+# unbounded again and the test suite's per-module conftest fixture handles
+# memory instead (tests/conftest.py clears them explicitly).
+@lru_cache(maxsize=None)
 def _einsum_jit(formula: str, n: int):
     """A jitted einsum closure for `formula` over `n` operands."""
 
@@ -26,7 +34,7 @@ def _einsum_jit(formula: str, n: int):
     return fn
 
 
-@lru_cache(maxsize=256)
+@lru_cache(maxsize=None)
 def _einsum_split_jit(formula: str, n: int):
     """Jitted einsum that lowers complex contractions to a single REAL
     einsum in the split (2x2-representation) layout.
@@ -125,7 +133,7 @@ def safe_asarray(x, dtype=None):
     return jnp.asarray(x)
 
 
-@lru_cache(maxsize=512)
+@lru_cache(maxsize=None)
 def _complex_combine(shape, dtype_name):
     @jax.jit
     def run(re, im):
@@ -134,7 +142,7 @@ def _complex_combine(shape, dtype_name):
     return run
 
 
-@lru_cache(maxsize=64)
+@lru_cache(maxsize=None)
 def _cached_complex_scalar(value: complex):
     import numpy as np
 
@@ -186,7 +194,19 @@ def _harmonize_devices(arrays):
     """Co-locate operands whose committed placements disagree (jit refuses
     them).  Mixed placements arise when mesh-replicated results (sector-
     parallel truncation under a sharded Davidson) meet single-device
-    tensors: everything moves to the widest placement (the mesh one)."""
+    tensors: everything moves to the widest placement (the mesh one).
+
+    Placement mixing is only possible when a global mesh is installed
+    (``parallel.set_global_mesh``); with no mesh every array lives on the
+    one default device, so this is a no-op checked with one cheap global
+    read.  (Round 4 ran the per-operand ``a.devices()``/``str(a.sharding)``
+    inspection unconditionally on every einsum dispatch — measurable python
+    overhead in the dispatch-bound DMRG sweep for a case that cannot occur
+    single-device.)"""
+    from renormalizer_tpu.parallel.mesh import get_global_mesh
+
+    if get_global_mesh() is None:
+        return arrays
     metas = []
     for a in arrays:
         try:
@@ -216,7 +236,9 @@ def einsum(formula: str, *arrays):
     SIGABRT), and environment updates mix a complex state with a real MPO
     whenever real-time evolution runs."""
     arrays = [safe_asarray(a) for a in arrays]
-    if any(jnp.issubdtype(a.dtype, jnp.complexfloating) for a in arrays):
+    # dtype.kind is a plain numpy attribute read; jnp.issubdtype per operand
+    # per call was measurable python overhead in the dispatch-bound sweep
+    if any(a.dtype.kind == "c" for a in arrays):
         from renormalizer_tpu.lib.split_complex import split_complex_enabled
 
         if split_complex_enabled():
@@ -279,7 +301,7 @@ _ENV_FORMULAS = {
 }
 
 
-@lru_cache(maxsize=32)
+@lru_cache(maxsize=None)
 def _env_update_selfconj_jit(formula: str):
     """Environment update with the bra = ket*: the conjugation happens
     inside the jitted graph (an eager .conj() is one extra dispatch per
@@ -302,8 +324,7 @@ def contract_one_site(environ, ms, mo, domain, ms_conj=None):
 
         ops = _harmonize_devices(
             [safe_asarray(environ), safe_asarray(mo), safe_asarray(ms)])
-        any_cplx = any(jnp.issubdtype(a.dtype, jnp.complexfloating)
-                       for a in ops)
+        any_cplx = any(a.dtype.kind == "c" for a in ops)
         uniform = len({str(a.dtype) for a in ops}) == 1
         # the fused in-graph-conj path needs uniform dtypes (mixed fused
         # einsums SIGABRT the relay compiler) and native complex support
@@ -502,7 +523,7 @@ def einsum_interleaved(*args):
 
 # --- fused chain overlap ---------------------------------------------------
 
-@lru_cache(maxsize=64)
+@lru_cache(maxsize=None)
 def _chain_overlap_jit(n: int, ndim: int, conj_first: bool):
     """One jitted computation for the full transfer-matrix chain
     ``<mts1 (*)| mts2>``: a TDVP step computes the state norm after every
@@ -538,7 +559,7 @@ def chain_overlap(mts1, mts2, conj_first: bool = False) -> complex:
     return complex(asnumpy(chain_overlap_device(mts1, mts2, conj_first)))
 
 
-@lru_cache(maxsize=64)
+@lru_cache(maxsize=None)
 def _rsqrt_scale_jit(ndim: int):
     @jax.jit
     def run(x, norm2):
@@ -567,8 +588,7 @@ def _tensordot1(a, b):
 def tensordot1(a, b):
     """a . b over one axis (the bond-merge workhorse)."""
     a, b = _harmonize_devices([safe_asarray(a), safe_asarray(b)])
-    if (jnp.issubdtype(a.dtype, jnp.complexfloating)
-            or jnp.issubdtype(b.dtype, jnp.complexfloating)):
+    if a.dtype.kind == "c" or b.dtype.kind == "c":
         from renormalizer_tpu.lib.split_complex import split_complex_enabled
 
         if split_complex_enabled():
@@ -600,7 +620,7 @@ def asnumpy(x):
     return np.asarray(x)
 
 
-@lru_cache(maxsize=512)
+@lru_cache(maxsize=None)
 def _split_fetch(shape, dtype_name):
     import jax
     import jax.numpy as jnp

@@ -84,7 +84,7 @@ def jacobi_fits_vmem(n0: int, dtype) -> bool:
     return jacobi_vmem_bytes(n0, dtype) <= _vmem_budget_bytes()
 
 
-@lru_cache(maxsize=128)
+@lru_cache(maxsize=None)
 def _jacobi_factory(n: int, sweeps: int, interpret: bool):
     """Jitted pallas eigensolver for (n, n) symmetric float32/float64,
     n even.  Returns (eigenvalues (n,), eigenvectors (n, n) columns).

@@ -53,7 +53,7 @@ def record_engagement(mesh, formula: str, operand_shapes) -> bool:
     return engaged
 
 
-@lru_cache(maxsize=128)
+@lru_cache(maxsize=None)
 def _parse_shard_axes(formula: str):
     """Positions of the shardable bra-bond axes: (L axis, R axis, their
     positions in the output subscript)."""

@@ -76,17 +76,17 @@ class TreeNodeBasis(TreeNode):
         self.bond_dim = bond_dim
 
     def copy(self):
-        new = self.__class__(self.basis_sets)
-        if self.parent is not None:
-            new.parent = self.parent.copy()
-        new.children = self.children.copy()
-        return new
+        clone = type(self)(self.basis_sets)
+        clone.children = list(self.children)
+        clone.parent = None if self.parent is None else self.parent.copy()
+        return clone
 
     @property
     def basis_set(self):
-        if len(self.basis_sets) != 1:
+        if self.n_sets != 1:
             raise ValueError(
-                "This node has multiple basis sets. Use self.basis_sets[0] instead."
+                f"{self.n_sets} basis sets on this node; index basis_sets "
+                "explicitly instead"
             )
         return self.basis_sets[0]
 
@@ -107,29 +107,27 @@ class TreeNodeTensor(TreeNode):
         self.qn = qn
 
     def check_canonical(self, atol=None, assertion=True) -> bool:
-        if atol is None:
-            atol = backend.canonical_atol
-        mat = self.tensor.reshape(-1, self.tensor.shape[-1])
-        gram = np.asarray(mat.conj().T @ mat)
-        res = np.allclose(gram, np.eye(gram.shape[0]), atol=atol)
-        if assertion:
-            assert res
-        return res
-
-    @property
-    def shape(self):
-        return self.tensor.shape
+        tol = backend.canonical_atol if atol is None else atol
+        flat = self.tensor.reshape(-1, self.shape[-1])
+        gram = np.asarray(flat.conj().T @ flat)
+        ok = bool(np.allclose(gram, np.eye(len(gram)), atol=tol))
+        assert ok or not assertion
+        return ok
 
     @property
     def tensor(self):
         return self._tensor
 
     @tensor.setter
-    def tensor(self, tensor):
-        dtype = backend.complex_dtype if np.iscomplexobj(tensor) else backend.real_dtype
-        self._tensor = jnp.asarray(tensor, dtype=dtype)
+    def tensor(self, value):
+        dtype = backend.complex_dtype if np.iscomplexobj(value) else backend.real_dtype
+        self._tensor = jnp.asarray(value, dtype=dtype)
 
     array = tensor
+
+    @property
+    def shape(self):
+        return self._tensor.shape
 
     @property
     def qn(self):
@@ -167,24 +165,19 @@ NodeUnion = Union[TreeNodeTensor, TreeNodeBasis, TreeNodeEnviron, TreeNodeText]
 def copy_connection(source_node_list: List[NodeUnion], target_node_list: List[NodeUnion]) -> NodeUnion:
     """Replicate the connection structure of one node list onto another
     (reference ``tn/node.py:218-244``)."""
-    node2idx: Dict[NodeUnion, int] = {n: i for i, n in enumerate(source_node_list)}
+    pos: Dict[int, int] = {id(n): i for i, n in enumerate(source_node_list)}
     root = None
-    for source_node, target_node in zip(source_node_list, target_node_list):
-        for child in source_node.children:
-            target_node.add_child(target_node_list[node2idx[child]])
-        if source_node.parent is None:
-            root = target_node
+    for src, dst in zip(source_node_list, target_node_list):
+        dst.add_children([target_node_list[pos[id(c)]] for c in src.children])
+        if src.parent is None:
+            root = dst
     assert root is not None
     return root
 
 
 def build_connection_adj_mat(nodes: List[NodeUnion], adj_matrix: np.ndarray) -> NodeUnion:
-    for i, row in enumerate(adj_matrix):
-        children_idx = np.nonzero(row)[0]
-        nodes[i].add_children([nodes[j] for j in children_idx])
-    root = None
-    for node in nodes:
-        if node.parent is None:
-            root = node
-    assert root is not None
-    return root
+    for node, row in zip(nodes, np.asarray(adj_matrix)):
+        node.add_children([nodes[j] for j in np.flatnonzero(row)])
+    roots = [n for n in nodes if n.parent is None]
+    assert roots
+    return roots[-1]

@@ -128,60 +128,64 @@ def evolve_tdvp_ps(ttns: TTNS, ttno: TTNO, coeff, tau: float):
 
 
 def _tdvp_ps_forward(ttns, ttno, ttne, coeff, tau) -> List[int]:
+    """Postorder walk: each node's subtrees are evolved first, then the node
+    itself, then its parent bond is evolved backwards in time."""
     local_steps: List[int] = []
-    stack: List[Tuple[TreeNodeTensor, int]] = [(ttns.root, -1)]
-    while stack:
-        snode, ichild = stack[-1]
-        if (not snode.children) or (ichild == len(snode.children) - 1):
-            ms, j = evolve_1site(snode, ttns, ttno, ttne, coeff, tau)
-            snode.tensor = ms.reshape(snode.shape)
-            local_steps.append(int(j))
-            if snode.parent is None:
-                assert len(stack) == 1
-                stack.pop()
-                continue
-            # decompose: first index parent side, second index child side
-            ms = ttns.decompose_to_parent(snode)
-            ttne.build_children_environ_node(snode, ttns, ttno)
-            ms_t, j = evolve_0site(ms.T, snode, ttns, ttno, ttne, coeff, -tau)
-            ttns.merge_to_parent(snode, ms_t.reshape(ms.T.shape).T)
-            local_steps.append(int(j))
-            stack.pop()
+
+    def site_step(snode):
+        ms, j = evolve_1site(snode, ttns, ttno, ttne, coeff, tau)
+        snode.tensor = ms.reshape(snode.shape)
+        local_steps.append(int(j))
+
+    def bond_step_toward_parent(snode):
+        r = ttns.decompose_to_parent(snode)
+        ttne.build_children_environ_node(snode, ttns, ttno)
+        r_t, j = evolve_0site(r.T, snode, ttns, ttno, ttne, coeff, -tau)
+        ttns.merge_to_parent(snode, r_t.reshape(r.T.shape).T)
+        local_steps.append(int(j))
+
+    # (node, number of children already fully processed)
+    agenda: List[Tuple[TreeNodeTensor, int]] = [(ttns.root, 0)]
+    while agenda:
+        snode, done = agenda.pop()
+        if done < len(snode.children):
+            # canonical center moves into the next child; revisit later
+            agenda.append((snode, done + 1))
+            ttns.push_cano_to_child(snode, done)
+            ttne.build_parent_environ_node(snode, done, ttns, ttno)
+            agenda.append((snode.children[done], 0))
             continue
-        ichild += 1
-        child = snode.children[ichild]
-        ttns.push_cano_to_child(snode, ichild)
-        ttne.build_parent_environ_node(snode, ichild, ttns, ttno)
-        stack[-1] = (snode, ichild)
-        stack.append((child, -1))
+        site_step(snode)
+        if snode.parent is not None:
+            bond_step_toward_parent(snode)
     return local_steps
 
 
 def _tdvp_ps_backward(ttns, ttno, ttne, coeff, tau) -> List[int]:
+    """Preorder walk mirroring :func:`_tdvp_ps_forward`: the node is evolved
+    on first visit, then each child bond is evolved backwards before its
+    subtree."""
     local_steps: List[int] = []
-    stack: List[Tuple[TreeNodeTensor, int]] = [(ttns.root, -1)]
-    while stack:
-        snode, ichild = stack[-1]
-        if ichild == -1:
+    agenda: List[Tuple[TreeNodeTensor, int]] = [(ttns.root, 0)]
+    while agenda:
+        snode, done = agenda.pop()
+        if done == 0:
             ms, j = evolve_1site(snode, ttns, ttno, ttne, coeff, tau)
             snode.tensor = ms.reshape(snode.shape)
             local_steps.append(int(j))
-        if ichild == len(snode.children) - 1:
+        if done == len(snode.children):
             if snode is not ttns.root:
                 ttns.push_cano_to_parent(snode)
                 ttne.build_children_environ_node(snode, ttns, ttno)
-            stack.pop()
             continue
-        ichild += 1
-        child = snode.children[ichild]
-        ms = ttns.decompose_to_child(snode, ichild)
-        ttne.build_parent_environ_node(snode, ichild, ttns, ttno)
-        shape = ms.shape
-        ms, j = evolve_0site(ms, child, ttns, ttno, ttne, coeff, -tau)
-        ttns.merge_to_child(snode, ichild, ms.reshape(shape))
+        agenda.append((snode, done + 1))
+        child = snode.children[done]
+        r = ttns.decompose_to_child(snode, done)
+        ttne.build_parent_environ_node(snode, done, ttns, ttno)
+        r2, j = evolve_0site(r, child, ttns, ttno, ttne, coeff, -tau)
+        ttns.merge_to_child(snode, done, r2.reshape(r.shape))
         local_steps.append(int(j))
-        stack[-1] = (snode, ichild)
-        stack.append((child, -1))
+        agenda.append((child, 0))
     return local_steps
 
 

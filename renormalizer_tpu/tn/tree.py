@@ -48,41 +48,34 @@ class TTNBase(Tree):
     """Shared base of TTNS and TTNO (reference ``tn/tree.py:24-113``)."""
 
     @classmethod
-    def load(cls, basis: BasisTree, fname: str, other_attrs=None):
-        if other_attrs is None:
-            other_attrs = []
-        npload = np.load(fname, allow_pickle=True)
-        assert npload["version"] == "0.1"
-        nsites = int(npload["nsites"])
+    def load(cls, basis: BasisTree, fname: str, other_attrs=()):
+        payload = np.load(fname, allow_pickle=True)
+        assert payload["version"] == "0.1"
         nodes = [
-            TreeNodeTensor(npload[f"tensor_{i}"], npload[f"qn_{i}"])
-            for i in range(nsites)
+            TreeNodeTensor(payload[f"tensor_{i}"], payload[f"qn_{i}"])
+            for i in range(int(payload["nsites"]))
         ]
-        copy_connection(basis.node_list, nodes)
-        instance = cls(basis, root=nodes[0])
+        instance = cls(basis, root=copy_connection(basis.node_list, nodes))
         for attr in other_attrs:
-            setattr(instance, attr, npload[attr])
+            setattr(instance, attr, payload[attr])
         return instance
 
     def __init__(self, basis: BasisTree, root: TreeNodeTensor):
         self.basis = basis
         super().__init__(root)
-        self.tn2bn: Dict[TreeNodeTensor, TreeNodeBasis] = {
-            tn: bn for tn, bn in zip(self.node_list, self.basis.node_list)
-        }
+        self.tn2bn: Dict[TreeNodeTensor, TreeNodeBasis] = dict(
+            zip(self.node_list, basis.node_list)
+        )
         self.tn2dofs = {tn: bn.dofs for tn, bn in self.tn2bn.items()}
 
-    def dump(self, fname: str, other_attrs=None):
-        if other_attrs is None:
-            other_attrs = []
-        data = {"version": "0.1", "nsites": len(self)}
-        for attr in other_attrs:
-            data[attr] = getattr(self, attr)
+    def dump(self, fname: str, other_attrs=()):
+        payload = {"version": "0.1", "nsites": len(self)}
+        payload.update({attr: getattr(self, attr) for attr in other_attrs})
         for i, node in enumerate(self.node_list):
-            data[f"tensor_{i}"] = np.asarray(node.tensor)
-            data[f"qn_{i}"] = node.qn
+            payload[f"tensor_{i}"] = np.asarray(node.tensor)
+            payload[f"qn_{i}"] = node.qn
         try:
-            np.savez(fname, **data)
+            np.savez(fname, **payload)
         except Exception:
             logger.exception("Dump TTN failed.")
 
@@ -92,11 +85,11 @@ class TTNBase(Tree):
 
     @property
     def bond_dims(self):
-        return [node.tensor.shape[-1] for node in self]
+        return [int(node.shape[-1]) for node in self.node_list]
 
     @property
     def bond_dims_mean(self) -> int:
-        return int(round(np.mean(self.bond_dims)))
+        return int(round(float(np.mean(self.bond_dims))))
 
     @property
     def pbond_dims(self) -> List[List[int]]:
@@ -151,51 +144,51 @@ class TTNO(TTNBase):
     def get_node_indices(self, node: TreeNodeTensor, prefix_up="up", prefix_down="down") -> List:
         """einsum labels for this node: children bonds, interleaved up/down
         physical pairs, parent bond (reference ``tree.py:278-309``)."""
-        _id = str(id(self))
-        all_dofs = self.tn2dofs[node]
-        indices = []
-        for child in node.children:
-            indices.append((_id, str(all_dofs), str(self.tn2dofs[child])))
-        for dofs in all_dofs:
-            indices.append((prefix_up, str(dofs)))
-            indices.append((prefix_down, str(dofs)))
-        if node.parent is None:
-            indices.append((_id, "root", str(all_dofs)))
-        else:
-            indices.append((_id, str(self.tn2dofs[node.parent]), str(all_dofs)))
-        assert len(indices) == node.tensor.ndim
-        return indices
+        tag = str(id(self))
+        here = str(self.tn2dofs[node])
+        labels: List = [
+            (tag, here, str(self.tn2dofs[c])) for c in node.children
+        ]
+        for dofs in self.tn2dofs[node]:
+            labels += [(prefix_up, str(dofs)), (prefix_down, str(dofs))]
+        up = "root" if node.parent is None else str(self.tn2dofs[node.parent])
+        labels.append((tag, up, here))
+        assert len(labels) == node.tensor.ndim
+        return labels
 
     def apply(self, ttns: "TTNS", canonicalise: bool = False) -> "TTNS":
         """Exact TTNO @ TTNS with qn outer sums
         (reference ``tree.py:154-200``)."""
-        new = ttns.metacopy()
-        for snode1, snode2, onode in zip(ttns, new, self):
-            assert len(snode1.children) == len(onode.children)
-            indices1 = ttns.get_node_indices(snode1, ttno=self)
-            indices2 = self.get_node_indices(onode)
-            args = [snode1.tensor, indices1, onode.tensor, indices2]
-            output_indices = []
-            output_shape = []
-            for i in range(len(snode1.children)):
-                output_shape.append(snode1.shape[i] * onode.shape[i])
-                output_indices.extend([indices1[i], indices2[i]])
-            bnode = ttns.tn2bn[snode1]
-            for i in range(bnode.n_sets):
-                output_shape.append(snode1.shape[len(snode1.children) + i])
-                output_indices.append(("up", str(bnode.dofs[i])))
-            output_shape.append(snode1.shape[-1] * onode.shape[-1])
-            output_indices.extend([indices1[-1], indices2[-1]])
-            args.append(output_indices)
-            res = einsum_interleaved(*args).reshape(output_shape)
-            snode2.tensor = res
-            snode2.qn = add_outer(snode1.qn, onode.qn).reshape(
-                output_shape[-1], ttns.basis.qn_size
+        out = ttns.metacopy()
+        for snode, merged_node, onode in zip(ttns, out, self):
+            assert len(snode.children) == len(onode.children)
+            nchild = len(snode.children)
+            s_idx = ttns.get_node_indices(snode, ttno=self)
+            o_idx = self.get_node_indices(onode)
+            # merged bond pairs (state x operator) for children and parent,
+            # untouched "up" physical legs in between
+            out_idx: List = []
+            out_shape: List[int] = []
+            for i in range(nchild):
+                out_idx += [s_idx[i], o_idx[i]]
+                out_shape.append(snode.shape[i] * onode.shape[i])
+            bnode = ttns.tn2bn[snode]
+            for i, dofs in enumerate(bnode.dofs):
+                out_idx.append(("up", str(dofs)))
+                out_shape.append(snode.shape[nchild + i])
+            out_idx += [s_idx[-1], o_idx[-1]]
+            out_shape.append(snode.shape[-1] * onode.shape[-1])
+            merged = einsum_interleaved(
+                snode.tensor, s_idx, onode.tensor, o_idx, out_idx
             )
-        new.check_shape()
+            merged_node.tensor = merged.reshape(out_shape)
+            merged_node.qn = add_outer(snode.qn, onode.qn).reshape(
+                -1, ttns.basis.qn_size
+            )
+        out.check_shape()
         if canonicalise:
-            new.canonicalise()
-        return new
+            out.canonicalise()
+        return out
 
     def contract(self, ttns: "TTNS", algo="svd") -> "TTNS":
         assert algo == "svd", "variational compress not supported yet"
@@ -323,22 +316,25 @@ class TTNS(TTNBase):
                 condition = {}
             basis_list = basis.basis_list_postorder
             mps = Mps.hartree_product_state(Model(basis_list, []), condition, qn_idx=len(basis_list))
-            site_qn = [mps.qn[i + 1] - mps.qn[i] for i in range(len(mps))]
-            node_list_state = []
+            from functools import reduce
+
+            site_qn = [b - a for a, b in zip(mps.qn, mps.qn[1:])]
+            state_nodes = []
             for node_basis in basis.node_list:
-                mps_indices = [basis_list.index(b) for b in node_basis.basis_sets]
-                assert mps_indices
-                tensor = np.eye(1)
-                qn = 0
-                for i in mps_indices:
-                    tensor = np.tensordot(tensor, np.asarray(mps[i]), axes=1)
-                    qn = qn + site_qn[i]
-                tensor = tensor.reshape(
-                    [1] * len(node_basis.children) + list(tensor.shape)[1:-1] + [1]
+                picked = [basis_list.index(b) for b in node_basis.basis_sets]
+                assert picked
+                tensor = reduce(
+                    lambda t, i: np.tensordot(t, np.asarray(mps[i]), axes=1),
+                    picked, np.eye(1),
                 )
-                node_list_state.append(TreeNodeTensor(tensor, qn))
-            root = copy_connection(basis.node_list, node_list_state)
-            super().__init__(basis, root)
+                shape = [1] * len(node_basis.children)
+                shape += list(tensor.shape)[1:-1] + [1]
+                state_nodes.append(TreeNodeTensor(
+                    tensor.reshape(shape), sum(site_qn[i] for i in picked)
+                ))
+            super().__init__(
+                basis, copy_connection(basis.node_list, state_nodes)
+            )
             # accumulate subtree quantum numbers bottom-up
             for node in self.postorder_list():
                 for child in node.children:
@@ -348,28 +344,31 @@ class TTNS(TTNBase):
             super().__init__(basis, root)
 
         self.coeff = 1
-        self.check_shape()
         self.compress_config = CompressConfig()
         self.optimize_config = OptimizeConfig()
         self.evolve_config = EvolveConfig(EvolveMethod.tdvp_vmf, force_ovlp=False)
+        self.check_shape()
 
     # --- sanity -----------------------------------------------------------
     def check_shape(self):
         for snode, bnode in zip(self.node_list, self.basis.node_list):
-            assert snode.tensor.ndim == len(snode.children) + bnode.n_sets + 1
-            assert snode.qn.shape[0] == snode.tensor.shape[-1]
-            assert snode.qn.shape[1] == bnode.qn_size
-            for i, b in enumerate(bnode.basis_sets):
-                assert snode.shape[len(snode.children) + i] == b.nbas
+            nchild = len(snode.children)
+            assert snode.tensor.ndim == nchild + bnode.n_sets + 1
+            nqn, qn_width = snode.qn.shape
+            assert (nqn, qn_width) == (snode.shape[-1], bnode.qn_size)
+            physical = snode.shape[nchild:nchild + bnode.n_sets]
+            assert list(physical) == [b.nbas for b in bnode.basis_sets]
 
     def check_canonical(self, atol=None) -> bool:
-        for node in self.node_list[1:]:
-            node.check_canonical(atol)
+        for node in self.node_list:
+            if node is not self.root:
+                node.check_canonical(atol)
         return True
 
     def is_canonical(self, atol=None) -> bool:
         return all(
-            node.check_canonical(atol, assertion=False) for node in self.node_list[1:]
+            node.check_canonical(atol, assertion=False)
+            for node in self.node_list if node is not self.root
         )
 
     # --- indices ----------------------------------------------------------
@@ -497,17 +496,16 @@ class TTNS(TTNBase):
         idx = self.node_idx[node.children[ichild]]
         if temp_m_trunc is None:
             m_trunc = self.compress_config.compute_m_trunc(s, idx, left=False)
+        elif np.ndim(temp_m_trunc) == 0:
+            m_trunc = int(min(temp_m_trunc, len(s)))
         else:
-            if isinstance(temp_m_trunc, (list, tuple, np.ndarray)):
-                m_trunc = temp_m_trunc[idx]
-            else:
-                m_trunc = temp_m_trunc
-            m_trunc = int(min(m_trunc, len(s)))
-        orig_s = np.asarray(s).copy()
-        u = u[:, :m_trunc]
-        sv = jnp.asarray(s[:m_trunc])
-        v = v[:, :m_trunc]
-        qnl, qnr = qnl[:m_trunc], qnr[:m_trunc]
+            m_trunc = int(min(temp_m_trunc[idx], len(s)))
+        orig_s = np.array(s)
+        keep = slice(None, m_trunc)
+        sv = jnp.asarray(s[keep])
+        u, v = u[:, keep], v[:, keep]
+        qnl, qnr = qnl[keep], qnr[keep]
+        # fold sigma into whichever side stays non-canonical
         if cano_child:
             v = v * sv[None, :].astype(v.dtype)
         else:
@@ -519,36 +517,42 @@ class TTNS(TTNBase):
         child.qn = np.array(qnr)
         return orig_s
 
+    def _qn_outer_sum(self, vectors) -> np.ndarray:
+        """Outer-sum accumulation of per-leg quantum-number arrays."""
+        from functools import reduce
+
+        return reduce(add_outer, vectors,
+                      np.zeros(self.basis.qn_size, dtype=int))
+
     def get_qnmat(self, node: TreeNodeTensor, include_parent: bool = False):
-        """Super-block quantum numbers (reference ``tree.py:789-811``)."""
-        qnbigl = np.zeros(self.basis.qn_size, dtype=int)
-        for child in node.children:
-            qnbigl = add_outer(qnbigl, child.qn)
-        for b in self.tn2bn[node].basis_sets:
-            qnbigl = add_outer(qnbigl, b.sigmaqn)
-        if not include_parent:
+        """Super-block quantum numbers (reference ``tree.py:789-811``):
+        ``qnbigl`` accumulates the node's own legs (children bonds then
+        physical bases), ``qnbigr`` the complement through the parent."""
+        bnode = self.tn2bn[node]
+        qnbigl = self._qn_outer_sum(
+            [c.qn for c in node.children]
+            + [b.sigmaqn for b in bnode.basis_sets]
+        )
+        if include_parent:
+            parent = node.parent
+            assert parent is not None
+            up_legs = [c.qn for c in parent.children if c is not node]
+            up_legs += [b.sigmaqn for b in self.tn2bn[parent].basis_sets]
+            up_legs.append(self.qntot - parent.qn)
+            qnbigr = self._qn_outer_sum(up_legs)
+        else:
             qnbigr = self.qntot - node.qn
-            qnmat = add_outer(qnbigl, qnbigr)
-            return qnbigl, qnbigr, qnmat
-        qnbigr = np.zeros(self.basis.qn_size, dtype=int)
-        assert node.parent is not None
-        for child in node.parent.children:
-            if child is node:
-                continue
-            qnbigr = add_outer(qnbigr, child.qn)
-        for b in self.tn2bn[node.parent].basis_sets:
-            qnbigr = add_outer(qnbigr, b.sigmaqn)
-        qnbigr = add_outer(qnbigr, self.qntot - node.parent.qn)
-        qnmat = add_outer(qnbigl, qnbigr)
-        return qnbigl, qnbigr, qnmat
+        return qnbigl, qnbigr, add_outer(qnbigl, qnbigr)
 
     def get_qnmask(self, node, include_parent=False):
-        qnmat = self.get_qnmat(node, include_parent)[-1]
-        return get_qn_mask(qnmat, self.qntot)
+        return get_qn_mask(
+            self.get_qnmat(node, include_parent)[-1], self.qntot
+        )
 
     def canonicalise(self):
-        for node in self.postorder_list()[:-1]:
-            self.push_cano_to_parent(node)
+        for node in self.postorder_list():
+            if node is not self.root:
+                self.push_cano_to_parent(node)
         return self
 
     def compress(self, temp_m_trunc=None, ret_s=False):
@@ -574,18 +578,24 @@ class TTNS(TTNBase):
         if isinstance(ttno, (Op, OpSum)):
             ttno = TTNO(self.basis, ttno)
         assert bra is None  # not implemented yet
-        basis_node_ttns = TreeNodeBasis([BasisDummy("expectation dummy")])
-        basis_node_ttno = basis_node_ttns.copy()
-        basis_node_ttns.add_child(self.basis.root.copy())
-        basis_node_ttno.add_child(ttno.basis.root.copy())
-        basis_tree_ttns = BasisTree(basis_node_ttns)
-        basis_tree_ttno = BasisTree(basis_node_ttno)
-        snode = TreeNodeTensor(np.ones((1, 1, 1)), qn=np.zeros((1, basis_tree_ttns.qn_size)))
-        snode.add_child(self.root)
-        onode = TreeNodeTensor(np.ones((1, 1, 1, 1)), qn=np.zeros((1, basis_tree_ttno.qn_size)))
-        onode.add_child(ttno.root)
-        ttns_ext = TTNS(basis_tree_ttns, root=snode)
-        ttno_ext = TTNO(basis_tree_ttno, [], root=onode)
+        def extend_basis(net_root_basis):
+            top = TreeNodeBasis([BasisDummy("expectation dummy")])
+            top.add_child(net_root_basis.copy())
+            return BasisTree(top)
+
+        def lifted_root(net_root, ndim, qn_size):
+            top = TreeNodeTensor(
+                np.ones([1] * ndim), qn=np.zeros((1, qn_size))
+            )
+            top.add_child(net_root)
+            return top
+
+        s_basis = extend_basis(self.basis.root)
+        o_basis = extend_basis(ttno.basis.root)
+        ttns_ext = TTNS(
+            s_basis, root=lifted_root(self.root, 3, s_basis.qn_size))
+        ttno_ext = TTNO(
+            o_basis, [], root=lifted_root(ttno.root, 4, o_basis.qn_size))
         environ = TTNEnviron(ttns_ext, ttno_ext, build_environ=False)
         environ.build_children_environ(ttns_ext, ttno_ext)
         val = complex(np.asarray(environ.root.environ_children[0]).ravel()[0])
@@ -665,31 +675,29 @@ class TTNS(TTNBase):
             path = self.find_path(self.node_list[idx1], self.node_list[idx2])
             assert path[0] is self.node_list[idx1]
             assert path[-1] is self.node_list[idx2]
-            args = []
-            for snode in (path[0], path[-1]):
-                args.append(snode.tensor.conj())
-                args.append(self.get_node_indices(snode, conj=True))
-                args.append(snode.tensor)
-                args.append(self.get_node_indices(snode))
+            def braket_args(snode, ket_ttno=None):
+                return [
+                    snode.tensor.conj(),
+                    self.get_node_indices(snode, conj=True),
+                    snode.tensor,
+                    self.get_node_indices(snode, ttno=ket_ttno),
+                ]
+
+            # endpoints keep open physical legs; interior path nodes trace
+            # theirs through the dummy TTNO
+            args = braket_args(path[0]) + braket_args(path[-1])
             for snode in path[1:-1]:
-                args.append(snode.tensor.conj())
-                args.append(self.get_node_indices(snode, conj=True))
-                args.append(snode.tensor)
-                args.append(self.get_node_indices(snode, ttno=ttno_dummy))
+                args += braket_args(snode, ttno_dummy)
             for i, node in enumerate(path):
-                if i == 0:
-                    neighbours = [path[1]]
-                elif i == len(path) - 1:
-                    neighbours = [path[-2]]
-                else:
-                    neighbours = [path[i - 1], path[i + 1]]
-                skip_child_idx: List[int] = []
-                skip_parent = False
-                for nb in neighbours:
-                    if nb.parent is node:
-                        skip_child_idx.append(nb.idx_as_child)
-                    elif node.parent is nb:
-                        skip_parent = True
+                neighbours = [
+                    nb for nb in (path[i - 1] if i else None,
+                                  path[i + 1] if i + 1 < len(path) else None)
+                    if nb is not None
+                ]
+                skip_child_idx = [
+                    nb.idx_as_child for nb in neighbours if nb.parent is node
+                ]
+                skip_parent = any(node.parent is nb for nb in neighbours)
                 enode = ttne.node_list[self.node_idx[node]]
                 for j, child_tensor in enumerate(enode.environ_children):
                     if j in skip_child_idx:
@@ -786,72 +794,67 @@ class TTNS(TTNBase):
     # --- manipulation ------------------------------------------------------
     def add(self, other: "TTNS") -> "TTNS":
         """Block-diagonal direct sum (reference ``tree.py:1322-1366``)."""
-        new = self.metacopy()
-        for new_node, node1, node2 in zip(new, self, other):
-            new_shape, indices1, indices2 = [], [], []
-            for i, (dim1, dim2) in enumerate(zip(node1.shape, node2.shape)):
-                is_physical = len(node1.children) <= i and i != node1.tensor.ndim - 1
-                is_parent = i == node1.tensor.ndim - 1
-                if is_physical or (is_parent and node1 is self.root):
-                    assert dim1 == dim2
-                    new_shape.append(dim1)
-                    indices1.append(slice(0, dim1))
-                    indices2.append(slice(0, dim1))
+        out = self.metacopy()
+        for dst, a, b in zip(out, self, other):
+            nchild = len(a.children)
+            last = a.tensor.ndim - 1
+            # child and (non-root) parent bonds concatenate; physical legs
+            # and the trivial root bond must match
+            lo, hi, merged = [], [], []
+            for i, (d1, d2) in enumerate(zip(a.shape, b.shape)):
+                bond_like = i < nchild or (i == last and a is not self.root)
+                if bond_like:
+                    merged.append(d1 + d2)
+                    lo.append(slice(0, d1))
+                    hi.append(slice(d1, d1 + d2))
                 else:
-                    new_shape.append(dim1 + dim2)
-                    indices1.append(slice(0, dim1))
-                    indices2.append(slice(dim1, dim1 + dim2))
-            dtype = np.promote_types(
-                np.asarray(node1.tensor).dtype, np.asarray(node2.tensor).dtype
-            )
-            tensor = np.zeros(new_shape, dtype=dtype)
-            tensor[tuple(indices1)] = np.asarray(node1.tensor)
-            tensor[tuple(indices2)] = np.asarray(node2.tensor)
-            new_node.tensor = tensor
-            if node1 is self.root:
-                np.testing.assert_allclose(node1.qn, node2.qn)
-                new_node.qn = node1.qn.copy()
+                    assert d1 == d2
+                    merged.append(d1)
+                    lo.append(slice(None))
+                    hi.append(slice(None))
+            block = np.zeros(merged, dtype=np.promote_types(
+                np.asarray(a.tensor).dtype, np.asarray(b.tensor).dtype))
+            block[tuple(lo)] = np.asarray(a.tensor)
+            block[tuple(hi)] = np.asarray(b.tensor)
+            dst.tensor = block
+            if a is self.root:
+                np.testing.assert_allclose(a.qn, b.qn)
+                dst.qn = a.qn.copy()
             else:
-                new_node.qn = np.concatenate([node1.qn, node2.qn], axis=0)
-        new.check_shape()
-        return new
+                dst.qn = np.vstack([a.qn, b.qn])
+        out.check_shape()
+        return out
 
     def normalize(self, kind):
         return normalize(self, kind)
 
     def evolve(self, ttno: TTNO, tau: Union[complex, float], normalize: bool = True):
         """Dispatch to ``EVOLVE_METHODS`` (reference ``tree.py:1385-1404``)."""
-        imag_time = np.iscomplex(tau)
-        if imag_time:
-            coeff = 1
-            tau = tau.imag
-            ttns = self
+        if np.iscomplex(tau):
+            ttns, coeff, tau = self, 1, tau.imag
+            norm_kind = "ttns_and_coeff"  # imaginary time decays the norm
         else:
-            coeff = -1j
-            ttns = self.to_complex()
-        method = EVOLVE_METHODS[self.evolve_config.method]
-        new_ttns = method(ttns, ttno, coeff, tau)
+            ttns, coeff = self.to_complex(), -1j
+            norm_kind = "ttns_only"
+        stepper = EVOLVE_METHODS[self.evolve_config.method]
+        out = stepper(ttns, ttno, coeff, tau)
         if normalize:
-            if imag_time:
-                new_ttns.normalize("ttns_and_coeff")
-            else:
-                new_ttns.normalize("ttns_only")
-        return new_ttns
+            out.normalize(norm_kind)
+        return out
 
     def metacopy(self):
-        new = self.__class__(self.basis)
-        new.coeff = self.coeff
-        new.optimize_config = self.optimize_config.copy()
-        new.evolve_config = self.evolve_config.copy()
-        new.compress_config = self.compress_config.copy()
-        return new
+        shell = type(self)(self.basis)
+        shell.coeff = self.coeff
+        for attr in ("optimize_config", "evolve_config", "compress_config"):
+            setattr(shell, attr, getattr(self, attr).copy())
+        return shell
 
     def copy(self):
-        new = self.metacopy()
-        for node1, node2 in zip(new, self):
-            node1.tensor = node2.tensor
-            node1.qn = node2.qn.copy()
-        return new
+        dup = self.metacopy()
+        for dst, src in zip(dup, self):
+            dst.tensor = src.tensor
+            dst.qn = src.qn.copy()
+        return dup
 
     def to_complex(self, inplace: bool = False) -> "TTNS":
         new = self if inplace else self.metacopy()
@@ -958,25 +961,25 @@ class TTNS(TTNBase):
                     m_trunc = m
                 m_trunc = int(min(m_trunc, len(s)))
             if cano_parent:
-                m_node, msdim, msqn, m_parent = select_basis(
-                    u, su, qnlnew, v, m_trunc, percent=percent
-                )
+                picked = select_basis(u, su, qnlnew, v, m_trunc,
+                                      percent=percent)
+                m_node, msdim, msqn, m_parent = picked
             else:
-                m_parent, msdim, msqn, m_node = select_basis(
-                    v, sv, qnrnew, u, m_trunc, percent=percent
-                )
+                picked = select_basis(v, sv, qnrnew, u, m_trunc,
+                                      percent=percent)
+                m_parent, msdim, msqn, m_node = picked
             m_parent = m_parent.T
         node.tensor = m_node.reshape(list(node.shape[:-1]) + [-1])
-        if cano_parent:
-            node.qn = msqn
-        else:
-            node.qn = self.qntot - msqn
-        assert len(node.qn) == node.shape[-1]
-        shape = list(parent.tensor.shape)
+        node.qn = msqn if cano_parent else self.qntot - msqn
+        assert node.shape[-1] == len(node.qn)
+        # the truncated bond becomes the parent's leading axis, then moves
+        # back into this child's slot
         ichild = parent.children.index(node)
-        del shape[ichild]
-        shape = [-1] + shape
-        parent.tensor = jnp.moveaxis(m_parent.reshape(shape), 0, ichild)
+        parent_shape = [-1] + [
+            d for i, d in enumerate(parent.tensor.shape) if i != ichild
+        ]
+        parent.tensor = jnp.moveaxis(
+            m_parent.reshape(parent_shape), 0, ichild)
 
     def _update_2site_averaged(self, node, mats, qnbigl, qnbigr, m, percent,
                                cano_parent: bool):
@@ -1106,54 +1109,52 @@ class TTNEnviron(Tree):
 
     def update_1site(self, snode, ttns, ttno):
         self.build_children_environ_node(snode, ttns, ttno)
-        for ichild in range(len(snode.children)):
-            self.build_parent_environ_node(snode, ichild, ttns, ttno)
+        for i, _ in enumerate(snode.children):
+            self.build_parent_environ_node(snode, i, ttns, ttno)
 
     def update_2site(self, snode, ttns, ttno):
-        self.build_children_environ_node(snode, ttns, ttno)
-        self.build_children_environ_node(snode.parent, ttns, ttno)
-        for ichild in range(len(snode.parent.children)):
-            self.build_parent_environ_node(snode.parent, ichild, ttns, ttno)
-        for ichild in range(len(snode.children)):
-            self.build_parent_environ_node(snode, ichild, ttns, ttno)
+        parent = snode.parent
+        for n in (snode, parent):
+            self.build_children_environ_node(n, ttns, ttno)
+        for n in (parent, snode):
+            for i, _ in enumerate(n.children):
+                self.build_parent_environ_node(n, i, ttns, ttno)
+
+    def _sandwich_args(self, snode: TreeNodeTensor, ttns: TTNS, ttno: TTNO):
+        """The bra / operator / ket column of one node, as interleaved
+        einsum arguments (shared by both environment builders)."""
+        onode = ttno.node_list[ttns.node_idx[snode]]
+        return [
+            snode.tensor.conj(), ttns.get_node_indices(snode, conj=True),
+            onode.tensor, ttno.get_node_indices(onode),
+            snode.tensor, ttns.get_node_indices(snode, ttno=ttno),
+        ]
 
     def build_children_environ_node(self, snode: TreeNodeTensor, ttns: TTNS, ttno: TTNO):
         if snode.parent is None:
             return
         enode = self.node_list[ttns.node_idx[snode]]
-        onode = ttno.node_list[ttns.node_idx[snode]]
         args = []
-        for i, child_tensor in enumerate(enode.environ_children):
-            args.extend([child_tensor, self.get_child_indices(enode, i, ttns, ttno)])
-        args.append(snode.tensor.conj())
-        args.append(ttns.get_node_indices(snode, conj=True))
-        args.append(onode.tensor)
-        args.append(ttno.get_node_indices(onode))
-        args.append(snode.tensor)
-        args.append(ttns.get_node_indices(snode, ttno=ttno))
+        for i, env in enumerate(enode.environ_children):
+            args += [env, self.get_child_indices(enode, i, ttns, ttno)]
+        args += self._sandwich_args(snode, ttns, ttno)
         args.append(self.get_parent_indices(enode, ttns, ttno))
         res = einsum_interleaved(*args)
-        if len(enode.parent.environ_children) != len(enode.parent.children):
-            enode.parent.environ_children.append(res)
+        slots = enode.parent.environ_children
+        if len(slots) == len(enode.parent.children):
+            slots[snode.idx_as_child] = res
         else:
-            ichild = snode.parent.children.index(snode)
-            enode.parent.environ_children[ichild] = res
+            slots.append(res)
 
     def build_parent_environ_node(self, snode: TreeNodeTensor, ichild: int, ttns: TTNS, ttno: TTNO):
         enode = self.node_list[ttns.node_idx[snode]]
-        onode = ttno.node_list[ttns.node_idx[snode]]
         args = []
-        for j, child_tensor in enumerate(enode.environ_children):
-            if j == ichild:
-                continue
-            args.extend([child_tensor, self.get_child_indices(enode, j, ttns, ttno)])
-        args.extend([enode.environ_parent, self.get_parent_indices(enode, ttns, ttno)])
-        args.append(snode.tensor.conj())
-        args.append(ttns.get_node_indices(snode, conj=True))
-        args.append(onode.tensor)
-        args.append(ttno.get_node_indices(onode))
-        args.append(snode.tensor)
-        args.append(ttns.get_node_indices(snode, ttno=ttno))
+        for j, env in enumerate(enode.environ_children):
+            if j != ichild:
+                args += [env, self.get_child_indices(enode, j, ttns, ttno)]
+        args += [enode.environ_parent,
+                 self.get_parent_indices(enode, ttns, ttno)]
+        args += self._sandwich_args(snode, ttns, ttno)
         args.append(self.get_child_indices(enode, ichild, ttns, ttno))
         enode.children[ichild].environ_parent = einsum_interleaved(*args)
 
@@ -1207,10 +1208,12 @@ def from_mps(mps: Mps) -> Tuple[BasisTree, TTNS, TTNO]:
 def compress_recursion(snode: TreeNodeTensor, ttns: TTNS, s_dict: Dict, temp_m_trunc=None):
     assert snode.children, "can't compress a single tree node"
     for ichild, child in enumerate(snode.children):
-        cano_child = bool(child.children)
-        s = ttns.compress_node(snode, ichild, temp_m_trunc, cano_child)
-        s_dict[child] = s
-        if cano_child:
+        # leaves stay non-canonical (sigma folds into them); interior
+        # children become canonical, recurse, then push back up
+        is_interior = bool(child.children)
+        s_dict[child] = ttns.compress_node(
+            snode, ichild, temp_m_trunc, cano_child=is_interior)
+        if is_interior:
             compress_recursion(child, ttns, s_dict, temp_m_trunc)
             ttns.push_cano_to_parent(child)
 

@@ -38,14 +38,15 @@ class Tree:
         return recursion(self.root)
 
     def postorder_list(self) -> List[NodeUnion]:
-        def recursion(node):
-            ret = []
-            for child in node.children:
-                ret += recursion(child)
-            ret.append(node)
-            return ret
+        out: List[NodeUnion] = []
 
-        return recursion(self.root)
+        def visit(node):
+            for child in node.children:
+                visit(child)
+            out.append(node)
+
+        visit(self.root)
+        return out
 
     @staticmethod
     def find_path(node1: NodeUnion, node2: NodeUnion) -> List[NodeUnion]:
@@ -61,24 +62,25 @@ class Tree:
 
     @property
     def adj_matrix(self) -> np.ndarray:
-        mat = np.zeros((len(self.node_list),) * 2, dtype=np.uint8)
-        for i, node in enumerate(self.node_list):
-            for child in node.children:
-                mat[i, self.node_idx[child]] = 1
+        # parent -> child incidence, indexed by preorder position
+        mat = np.zeros((self.size, self.size), dtype=np.uint8)
+        for child in self.node_list:
+            if child.parent is not None:
+                mat[self.node_idx[child.parent], self.node_idx[child]] = 1
         return mat
+
+    def __len__(self):
+        return len(self.node_list)
 
     @property
     def size(self):
-        return len(self.node_list)
-
-    def __len__(self):
-        return self.size
+        return len(self)
 
     def __iter__(self):
         return iter(self.node_list)
 
     def __repr__(self):
-        return f"{self.__class__} with {len(self)} nodes"
+        return f"{type(self).__name__}(nodes={len(self)})"
 
 
 def approximate_partition(sequence, ngroups):
@@ -121,17 +123,14 @@ class BasisTree(Tree):
         return cls(nodes[0])
 
     @classmethod
-    def general_mctdh(
-        cls,
-        basis_list: List[BasisSet],
-        tree_order: int,
-        contract_primitive: bool = False,
-        contract_label: Sequence[bool] = None,
-        dummy_label="MCTDH virtual",
-    ) -> "BasisTree":
+    def general_mctdh(cls, basis_list: List[BasisSet], tree_order: int,
+                      contract_primitive: bool = False,
+                      contract_label: Sequence[bool] = None,
+                      dummy_label="MCTDH virtual") -> "BasisTree":
         """MCTDH-style tree: physical DoFs only on leaves, dummy interior
         nodes (reference ``treebase.py:142-246``)."""
-        assert len(basis_list) > 1
+        if len(basis_list) < 2:
+            raise AssertionError("an MCTDH tree needs at least two bases")
 
         elementary: List[TreeNodeBasis] = []
         if not contract_primitive:
@@ -188,27 +187,26 @@ class BasisTree(Tree):
         """T3NS topology (reference ``treebase.py:279-306``)."""
         counter = [0]
 
-        def recursion(parent, basis_list_):
-            if len(basis_list_) == 0:
-                return
-            if len(basis_list_) == 1:
-                parent.add_child(TreeNodeBasis(basis_list_))
-                return
-            if len(basis_list_) == 2:
-                node1 = TreeNodeBasis(basis_list_[:1])
-                parent.add_child(node1)
-                node1.add_child(TreeNodeBasis(basis_list_[1:]))
-                return
-            node1 = TreeNodeBasis(basis_list_[:1])
-            parent.add_child(node1)
-            node2 = TreeNodeBasis([BasisDummy((t3ns_label, counter[0]))])
+        def fresh_dummy():
+            node = TreeNodeBasis([BasisDummy((t3ns_label, counter[0]))])
             counter[0] += 1
-            node1.add_child(node2)
-            for part in approximate_partition(basis_list_[1:], 2):
-                recursion(node2, part)
+            return node
 
-        root = TreeNodeBasis([BasisDummy((t3ns_label, counter[0]))])
-        counter[0] += 1
+        def recursion(parent, remaining):
+            if not remaining:
+                return
+            head = TreeNodeBasis(remaining[:1])
+            parent.add_child(head)
+            rest = remaining[1:]
+            if len(rest) == 1:
+                head.add_child(TreeNodeBasis(rest))
+            elif rest:
+                hub = fresh_dummy()
+                head.add_child(hub)
+                for part in approximate_partition(rest, 2):
+                    recursion(hub, part)
+
+        root = fresh_dummy()
         for partition in approximate_partition(basis_list, 3):
             recursion(root, partition)
         return cls(root)
@@ -223,15 +221,13 @@ class BasisTree(Tree):
             raise ValueError(f"Inconsistent quantum number size: {qn_sizes}")
         self.qn_size: int = qn_sizes.pop()
 
-        self.basis2idx: Dict[BasisSet, int] = {}
-        self.dof2idx: Dict[Any, int] = {}
-        self.dof2basis: Dict[Any, BasisSet] = {}
-        for i, node in enumerate(self.node_list):
-            for b in node.basis_sets:
-                self.basis2idx[b] = i
-                for d in b.dofs:
-                    self.dof2idx[d] = i
-                    self.dof2basis[d] = b
+        placed = [(i, b) for i, node in enumerate(self.node_list)
+                  for b in node.basis_sets]
+        self.basis2idx: Dict[BasisSet, int] = {b: i for i, b in placed}
+        self.dof2idx: Dict[Any, int] = {d: i for i, b in placed for d in b.dofs}
+        self.dof2basis: Dict[Any, BasisSet] = {
+            d: b for _, b in placed for d in b.dofs
+        }
 
         self.identity_op: Op = Op("I", self.root.dofs[0][0])
         # cached identity / dummy TTNOs (built lazily by ``tn.tree``)
@@ -258,22 +254,24 @@ class BasisTree(Tree):
 
     @property
     def basis_list(self) -> List[BasisSet]:
-        return list(chain(*[n.basis_sets for n in self.node_list]))
+        return [b for n in self.node_list for b in n.basis_sets]
 
     @property
     def dof_list(self) -> List[Any]:
-        return list(chain(*[b.dofs for b in self.basis_list]))
+        return [d for b in self.basis_list for d in b.dofs]
 
     @property
     def basis_list_postorder(self) -> List[BasisSet]:
-        return list(chain(*[n.basis_sets for n in self.postorder_list()]))
+        return [b for n in self.postorder_list() for b in n.basis_sets]
 
     @property
     def bond_dims(self) -> List[int]:
-        for n in self.node_list:
-            if n.bond_dim is None:
-                raise ValueError(f"One of the bond dimensions is None: {n}")
-        return [n.bond_dim for n in self.node_list]
+        dims = [n.bond_dim for n in self.node_list]
+        if None in dims:
+            raise ValueError(
+                f"bond dimension unset on node {dims.index(None)}"
+            )
+        return dims
 
     @property
     def pbond_dims(self) -> List[List[int]]:
@@ -282,18 +280,18 @@ class BasisTree(Tree):
     def add_auxiliary_space(self, auxiliary_label="Q") -> "BasisTree":
         """Thermofield P/Q doubling: each physical basis gains an auxiliary
         copy with zero quantum numbers (reference ``treebase.py:378-395``)."""
-        node2_list = []
-        for node in self:
-            basis2 = []
-            for basis in node.basis_sets:
-                basis2.append(basis)
-                if not isinstance(basis, BasisDummy):
-                    basis_q = basis.copy((auxiliary_label, basis.dofs))
-                    basis_q.sigmaqn = np.zeros_like(basis.sigmaqn)
-                    basis2.append(basis_q)
-            node2_list.append(TreeNodeBasis(basis2))
-        copy_connection(self.node_list, node2_list)
-        return BasisTree(node2_list[0])
+        def with_twin(basis):
+            if isinstance(basis, BasisDummy):
+                return [basis]
+            twin = basis.copy((auxiliary_label, basis.dofs))
+            twin.sigmaqn = np.zeros_like(basis.sigmaqn)
+            return [basis, twin]
+
+        doubled = [
+            TreeNodeBasis([b2 for b in node.basis_sets for b2 in with_twin(b)])
+            for node in self.node_list
+        ]
+        return BasisTree(copy_connection(self.node_list, doubled))
 
 
 def print_as_tree(text_list, adj_matrix, print_function=print):
