@@ -23,6 +23,7 @@ from renormalizer_tpu.model import HolsteinModel, Mol, Phonon
 
 
 
+@pytest.mark.fast
 def test_spectra_zerot():
     """Zero-T absorption autocorrelation vs dense oracle."""
     import scipy.linalg
@@ -144,6 +145,7 @@ def test_vibronic_dynamics():
         assert np.isclose(psi0 @ psit, ac, atol=1e-3)
 
 
+@pytest.mark.fast
 def test_vscf():
     """VSCF on a decoupled pair of oscillators gives exact energies."""
     from renormalizer_tpu.vibration import Vscf
@@ -209,6 +211,7 @@ def test_transport_spectral_function():
     assert np.allclose(np.abs(G0[1:]), 0, atol=1e-6)
 
 
+@pytest.mark.fast
 def test_cv_zerot():
     """DDMRG correction vector at two frequencies vs the dense Lorentzian
     oracle -1/pi Im <0|mu (H-E0-w-i eta)^-1 mu|0>."""

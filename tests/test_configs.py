@@ -4,6 +4,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.fast
+
 from renormalizer_tpu.utils import (
     CompressConfig,
     CompressCriteria,

@@ -67,6 +67,7 @@ def check_result(mps, mpo, time_step, final_time, atol=1e-4):
     return mps
 
 
+@pytest.mark.fast
 def test_pc():
     mps = INIT_MPS.copy()
     mps.compress_config = CompressConfig(CompressCriteria.fixed)
@@ -94,6 +95,7 @@ def test_pc_tdrk():
     check_result(mps, MPO, 0.2, 2)
 
 
+@pytest.mark.fast
 def test_tdvp_ps():
     mps = INIT_MPS.copy()
     mps.evolve_config = EvolveConfig(EvolveMethod.tdvp_ps)
@@ -135,6 +137,7 @@ def test_mpdm_evolve():
     check_result(mpdm, MPO, 0.4, 1.2)
 
 
+@pytest.mark.fast
 def test_thermal_prop_exact():
     """Imaginary-time exact propagation in GS space: thermal occupation of a
     decoupled oscillator is analytic."""

@@ -5,12 +5,14 @@ Two independently constructed identical MPOs must share cached environments
 """
 
 import numpy as np
+import pytest
 
 from fixtures import holstein_model
 from renormalizer_tpu.model import Op
 from renormalizer_tpu.mps import Mpo, Mps
 
 
+@pytest.mark.fast
 def test_independent_identical_mpos_share_digests():
     mpo1 = Mpo(holstein_model, Op(r"a^\dagger a", 0))
     mpo2 = Mpo(holstein_model, Op(r"a^\dagger a", 0))

@@ -39,6 +39,7 @@ def test_max_step_respected():
     np.testing.assert_allclose(np.asarray(res.y), np.exp(-1.0), rtol=1e-5)
 
 
+@pytest.mark.fast
 def test_complex_state():
     h = np.array([[1.0, 0.3], [0.3, -0.5]])
 

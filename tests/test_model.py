@@ -29,6 +29,7 @@ from renormalizer_tpu.model import (
 from renormalizer_tpu.utils import Quantity
 
 
+@pytest.mark.fast
 def test_op_algebra():
     x = Op("X", 0, 0.5)
     y = Op("Y", 1, 0.2)
@@ -69,6 +70,7 @@ def test_op_squeeze_identity():
     assert op.squeeze_identity().factor == -0.5
 
 
+@pytest.mark.fast
 def test_basis_sho_ladder():
     b = BasisSHO(0, omega=1.3, nbas=10)
     bdag = b.op_mat(r"b^\dagger")
@@ -200,6 +202,7 @@ def test_basis_multi_electron_vac():
     assert np.allclose(m2, expected2)
 
 
+@pytest.mark.fast
 def test_basis_half_spin():
     b = BasisHalfSpin(0)
     X, Y, Z = b.op_mat("X"), b.op_mat("Y"), b.op_mat("Z")
@@ -217,6 +220,7 @@ def test_basis_dummy():
     assert np.allclose(b.op_mat("I"), np.eye(1))
 
 
+@pytest.mark.fast
 def test_model_construction():
     ph = Phonon.simple_phonon(Quantity(1.0), Quantity(1.0), 4)
     mol = Mol(Quantity(0.5), [ph])
@@ -250,6 +254,7 @@ def test_heisenberg_ops():
     assert len(terms) == 6
 
 
+@pytest.mark.fast
 def test_phonon():
     ph = Phonon.simplest_phonon(Quantity(0.01), Quantity(5.0))
     assert ph.n_phys_dim >= 4

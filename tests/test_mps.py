@@ -19,6 +19,7 @@ from renormalizer_tpu.utils import CompressConfig, CompressCriteria, OptimizeCon
 procedure = [[10, 0.4], [20, 0.2], [30, 0.1], [40, 0], [40, 0]]
 
 
+@pytest.mark.fast
 def test_mpo_dense_heisenberg():
     nspin = 4
     model = Model([BasisHalfSpin(i) for i in range(nspin)], heisenberg_ops(nspin))
@@ -78,6 +79,7 @@ def test_mpo_apply_vs_dense():
     assert np.allclose(applied.todense(), h @ mps.todense())
 
 
+@pytest.mark.fast
 def test_compress():
     model = exact_model()
     mpo = Mpo(model)
@@ -101,6 +103,7 @@ def test_add_dot_distance():
     )
 
 
+@pytest.mark.fast
 def test_expectation():
     model = exact_model()
     mps = Mps.random(model, 1, 8)
@@ -118,6 +121,7 @@ def test_expectation():
         assert np.isclose(val, v @ op_dense @ v)
 
 
+@pytest.mark.fast
 def test_dmrg_tiny_vs_dense():
     """DMRG on the tiny exact model vs dense diagonalization in the
     1-exciton sector."""

@@ -18,6 +18,7 @@ def tiering(monkeypatch):
     offload.hot_window.cache_clear()
 
 
+@pytest.mark.fast
 def test_environ_tiered_store_roundtrip(tiering):
     mps = Mps.random(holstein_model, 1, 10)
     mpo = Mpo(holstein_model)

@@ -21,6 +21,7 @@ def mesh22():
     par.set_global_mesh(None)
 
 
+@pytest.mark.fast
 def test_sharded_hop_matches_dense(mesh22):
     """Sharded 2-site effective-H matvec == single-device einsum."""
     import jax.numpy as jnp

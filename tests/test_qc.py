@@ -61,6 +61,7 @@ def test_qc_dmrg(stacked):
     assert abs(e - e_fci) < 1e-8
 
 
+@pytest.mark.fast
 def test_read_fcidump(tmp_path):
     """FCIDUMP round trip: write -> read -> same spin-orbital integrals."""
     h, eri = _integrals(n=2, seed=7)

@@ -40,6 +40,7 @@ def test_zt_abs_vs_reference_std(method):
     assert np.allclose(got, expected, rtol=1e-2)
 
 
+@pytest.mark.fast
 def test_load_reference_npz(tmp_path):
     """Serialization parity (A.5): an MPS dumped by the REFERENCE package
     must load into the rebuild with identical dense wavefunction."""

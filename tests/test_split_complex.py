@@ -27,6 +27,7 @@ from renormalizer_tpu.lib.solvers import expm_krylov_fused
 from renormalizer_tpu.ops.contract import hop_spec
 
 
+@pytest.mark.fast
 def test_split_formula():
     assert (
         split_formula("abc,bdef,lfk,cek->adl", (True, False, True, True))

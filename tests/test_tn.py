@@ -35,6 +35,7 @@ def test_ttno_mctdh_tree():
     )
 
 
+@pytest.mark.fast
 def test_ttns_hartree_and_expectation():
     model = heisenberg_model(4)
     basis_tree = BasisTree.binary(model.basis)
@@ -59,6 +60,7 @@ def test_ttns_random_canonical():
     assert np.isclose(ttns.ttns_norm, 1)
 
 
+@pytest.mark.fast
 def test_from_mps_round_trip():
     model = exact_model()
     mps = Mps.random(model, 1, 8)
@@ -134,6 +136,7 @@ def _sector_spectrum(model, nexciton, k):
     return np.linalg.eigvalsh(h[np.ix_(sector, sector)])[:k]
 
 
+@pytest.mark.fast
 def test_optimize_ttns_arpack():
     """Host-Lanczos (scipy eigsh) tree eigensolver cross-validates the
     device Davidson (reference offers arpack: ``tn/gs.py:105-109``)."""

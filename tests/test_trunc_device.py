@@ -21,6 +21,7 @@ def _blocked_matrix(rng, m, n, qntot):
 
 
 @pytest.mark.parametrize("system", ["L", "R"])
+@pytest.mark.fast
 def test_candidates_match_host_svd(system):
     rng = np.random.default_rng(0)
     m, n, cap = 90, 110, 40
