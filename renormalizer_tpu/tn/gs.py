@@ -25,16 +25,19 @@ def _solver_tol() -> float:
 
 
 def optimize_ttns(ttns: TTNS, ttno: TTNO, procedure=None):
-    """Macro sweeps over the optimization procedure."""
-    if procedure is None:
-        procedure = ttns.optimize_config.procedure
+    """Macro sweeps over the optimization procedure; returns the final
+    micro-sweep energy of each macro sweep (reference semantics)."""
+    sweeps = ttns.optimize_config.procedure if procedure is None else procedure
     ttne = TTNEnviron(ttns, ttno)
-    e_list = []
-    for m, percent in procedure:
+    macro_e = []
+    for isweep, (m, percent) in enumerate(sweeps):
         micro_e = optimize_recursion(ttns.root, ttns, ttno, ttne, m, percent)
-        logger.info(f"Micro e: {micro_e}")
-        e_list.append(micro_e[-1])
-    return e_list
+        logger.info(
+            f"TTNS macro sweep {isweep} (m={m}, percent={percent}): "
+            f"best micro e {min(np.real(micro_e)):.10g}"
+        )
+        macro_e.append(micro_e[-1])
+    return macro_e
 
 
 def optimize_recursion(
