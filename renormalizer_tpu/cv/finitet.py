@@ -41,6 +41,15 @@ logger = logging.getLogger(__name__)
 _F1 = "pijq,iumk,jmnl,qndt,sklt->puds"  # A_up^2 X
 _F2 = "pijq,iumk,qmnt,jndl,sklt->puds"  # A_up X H_down
 _F3 = "pijq,qumt,imnk,jndl,sklt->puds"  # X H_down^2
+# 2-site variants: the active block X carries legs (left bond, up1, down1,
+# up2, down2, right bond) and each operator layer contributes one site tensor
+# per active site.  NOTE: unlike the reference, whose finite-T 2site branch is
+# dead code (``/root/reference/renormalizer/cv/finitet.py:712-714`` raises
+# "too expensive ... I drop it"), these run — the fused masked CG makes the
+# 6-leg solve affordable on an accelerator.
+_F1_2 = "pijq,iabk,kceK,jbfl,legL,qfdght,sKLt->padchs"  # A_up^2 X
+_F2_2 = "pijq,iabk,kceK,qbfegt,jfdl,lghL,sKLt->padchs"  # A_up X H_down
+_F3_2 = "pijq,qabcet,ibfk,kegK,jfdl,lghL,sKLt->padchs"  # X H_down^2
 # environment updates (conj(X), ops, X) from the left; the right versions are
 # obtained by transposing the bond legs in the same formulas
 _E1_L = "pijq,pudw,iumx,jmny,qndz->wxyz"
@@ -60,17 +69,30 @@ class CvMpDm(MpDm):
 
 
 @lru_cache(maxsize=None)
-def _ft_cg_factory(cshape, eta: float, tol: float):
+def _ft_cg_factory(cshape, eta: float, tol: float, nsite: int = 1):
     dim = int(np.prod(cshape))
 
     @jax.jit
-    def solve(x0, b, prediag, mask_idx, l1, r1, l2, r2, l3, r3, a, h):
+    def solve(x0, b, prediag, mask_idx, l1, r1, l2, r2, l3, r3, *site_ops):
         def matvec(x):
             full = jnp.zeros(dim, dtype=x.dtype).at[mask_idx].set(x)
             full = full.reshape(cshape)
-            m1 = jnp.einsum(_F1, l1, a, a, full, r1, optimize="optimal")
-            m2 = jnp.einsum(_F2, l2, a, full, h, r2, optimize="optimal")
-            m3 = jnp.einsum(_F3, l3, full, h, h, r3, optimize="optimal")
+            if nsite == 1:
+                a, h = site_ops
+                m1 = jnp.einsum(_F1, l1, a, a, full, r1, optimize="optimal")
+                m2 = jnp.einsum(_F2, l2, a, full, h, r2, optimize="optimal")
+                m3 = jnp.einsum(_F3, l3, full, h, h, r3, optimize="optimal")
+            else:
+                a1, a2, h1, h2 = site_ops
+                m1 = jnp.einsum(
+                    _F1_2, l1, a1, a2, a1, a2, full, r1, optimize="optimal"
+                )
+                m2 = jnp.einsum(
+                    _F2_2, l2, a1, a2, full, h1, h2, r2, optimize="optimal"
+                )
+                m3 = jnp.einsum(
+                    _F3_2, l3, full, h1, h2, h1, h2, r3, optimize="optimal"
+                )
             out = (m1 + 2.0 * m2 + m3).ravel()[mask_idx]
             return out + eta ** 2 * x
 
@@ -128,8 +150,6 @@ class SpectraFtCV(SpectraCv):
             model, spectratype, m_max, eta, h_mpo=h_mpo, method=method,
             procedure_cv=procedure_cv, rtol=rtol, b_mps=b_mps, cv_mps=cv_mps,
         )
-        if method != "1site":
-            raise NotImplementedError("finite-T CV supports 1site only")
         self.cv_mpo = self.cv_mps
         self.b_mpo = self.b_mps
         self.a_oper = None
@@ -187,23 +207,55 @@ class SpectraFtCV(SpectraCv):
     # --- site-local solve -----------------------------------------------------
     def optimize_cv(self, lr_group, isite, percent=0.0):
         first_LR, second_LR, third_LR, forth_LR = lr_group
-        i = isite - 1
+        cidx = [isite - 1] if self.method == "1site" else [isite - 2, isite - 1]
+        i = cidx[0]
         l1, r1 = first_LR[i], first_LR[isite]
         l2, r2 = second_LR[i], second_LR[isite]
         l3, r3 = third_LR[i], third_LR[isite]
         lb, rb = forth_LR[i], forth_LR[isite]
 
-        qnbigl, qnbigr, qnmat = self.cv_mpo._get_big_qn([i])
+        qnbigl, qnbigr, qnmat = self.cv_mpo._get_big_qn(cidx)
         qn_mask = get_qn_mask(qnmat, self.cv_mpo.qntot)
         cshape = qn_mask.shape
         mask_idx = jnp.asarray(np.nonzero(qn_mask.ravel())[0])
 
-        a = self.a_oper[i]
-        h = self.h_mpo[i]
-        guess = self.cv_mpo[i].ravel()[mask_idx]
-        vec_b = einsum("pq,pudt,ts->quds", lb, self.b_mpo[i], rb).ravel()[mask_idx]
+        if self.method == "1site":
+            a_ops = (self.a_oper[i],)
+            h_ops = (self.h_mpo[i],)
+            guess = self.cv_mpo[i].ravel()[mask_idx]
+            vec_b = einsum(
+                "pq,pudt,ts->quds", lb, self.b_mpo[i], rb
+            ).ravel()[mask_idx]
+            prediag = self._prediag_1site(l1, r1, l2, r2, l3, r3, *a_ops, *h_ops)
+        else:
+            a_ops = (self.a_oper[i], self.a_oper[i + 1])
+            h_ops = (self.h_mpo[i], self.h_mpo[i + 1])
+            guess = jnp.tensordot(
+                self.cv_mpo[i], self.cv_mpo[i + 1], axes=(-1, 0)
+            ).ravel()[mask_idx]
+            vec_b = einsum(
+                "pq,pudt,tvwx,xs->qudvws",
+                lb, self.b_mpo[i], self.b_mpo[i + 1], rb,
+            ).ravel()[mask_idx]
+            prediag = self._prediag_2site(l1, r1, l2, r2, l3, r3, *a_ops, *h_ops)
+        prediag = prediag.ravel()[mask_idx] + self.eta ** 2
 
-        # Jacobi preconditioner: diagonal of the three contributions
+        solve = _ft_cg_factory(
+            tuple(cshape), float(self.eta), 1e-5, len(cidx)
+        )
+        x, l_value = solve(
+            guess, vec_b, prediag, mask_idx, l1, r1, l2, r2, l3, r3,
+            *a_ops, *h_ops,
+        )
+        # l_value stays a device scalar; realized once per sweep in the driver
+
+        xstruct = cvec2cmat(x, qn_mask)
+        self.cv_mpo._update_mps(xstruct, cidx, qnbigl, qnbigr, percent)
+        return l_value
+
+    @staticmethod
+    def _prediag_1site(l1, r1, l2, r2, l3, r3, a, h):
+        """Jacobi preconditioner: diagonal of the three contributions."""
         l1d = einsum("pijp->pij", l1)
         r1d = einsum("skls->skl", r1)
         d1 = einsum("pij,iumk,jmul,skl->pus", l1d, a, a, r1d)
@@ -214,22 +266,36 @@ class SpectraFtCV(SpectraCv):
         r3d = einsum("skls->skl", r3)
         d3 = einsum("pij,idnk,jndl,skl->pds", l3d, h, h, r3d)
         pdim = d2.shape
-        diag = (
+        return (
             jnp.broadcast_to(d1[:, :, None, :], pdim)
             + 2.0 * d2
             + jnp.broadcast_to(d3[:, None, :, :], pdim)
         )
-        prediag = diag.ravel()[mask_idx] + self.eta ** 2
 
-        solve = _ft_cg_factory(tuple(cshape), float(self.eta), 1e-5)
-        x, l_value = solve(
-            guess, vec_b, prediag, mask_idx, l1, r1, l2, r2, l3, r3, a, h
+    @staticmethod
+    def _prediag_2site(l1, r1, l2, r2, l3, r3, a1, a2, h1, h2):
+        """2-site Jacobi preconditioner over (left, u1, d1, u2, d2, right)."""
+        l1d = einsum("pijp->pij", l1)
+        r1d = einsum("skls->skl", r1)
+        d1 = einsum(
+            "pij,iumk,jmul,kvnK,lnvL,sKL->puvs", l1d, a1, a1, a2, a2, r1d
         )
-        # l_value stays a device scalar; realized once per sweep in the driver
-
-        xstruct = cvec2cmat(x, qn_mask)
-        self.cv_mpo._update_mps(xstruct, [i], qnbigl, qnbigr, percent)
-        return l_value
+        l2d = einsum("pijp->pij", l2)
+        r2d = einsum("skls->skl", r2)
+        d2 = einsum(
+            "pij,iuuk,kvvK,jddl,lccL,sKL->pudvcs", l2d, a1, a2, h1, h2, r2d
+        )
+        l3d = einsum("pijp->pij", l3)
+        r3d = einsum("skls->skl", r3)
+        d3 = einsum(
+            "pij,idnk,jndl,kcmK,lmcL,sKL->pdcs", l3d, h1, h1, h2, h2, r3d
+        )
+        pdim = d2.shape
+        return (
+            jnp.broadcast_to(d1[:, :, None, :, None, :], pdim)
+            + 2.0 * d2
+            + jnp.broadcast_to(d3[:, None, :, None, :, :], pdim)
+        )
 
     # --- environments ---------------------------------------------------------
     # first/second/third: 4-layer sandwiches (conj X | A,A / A,H / H,H | X),
@@ -290,24 +356,22 @@ class SpectraFtCV(SpectraCv):
 
     def update_LR(self, lr_group, isite):
         first_LR, second_LR, third_LR, forth_LR = lr_group
-        if not self.cv_mpo.to_right:
-            envs = (
-                first_LR[isite], second_LR[isite],
-                third_LR[isite], forth_LR[isite],
-            )
-            n1, n2, n3, nb = self._env_up(envs, isite - 1, "R")
-            first_LR[isite - 1] = n1
-            second_LR[isite - 1] = n2
-            third_LR[isite - 1] = n3
-            forth_LR[isite - 1] = nb
+        if self.method == "1site":
+            if not self.cv_mpo.to_right:
+                src, dst, site, domain = isite, isite - 1, isite - 1, "R"
+            else:
+                src, dst, site, domain = isite - 1, isite, isite - 1, "L"
         else:
-            envs = (
-                first_LR[isite - 1], second_LR[isite - 1],
-                third_LR[isite - 1], forth_LR[isite - 1],
-            )
-            n1, n2, n3, nb = self._env_up(envs, isite - 1, "L")
-            first_LR[isite] = n1
-            second_LR[isite] = n2
-            third_LR[isite] = n3
-            forth_LR[isite] = nb
+            # 2-site: after updating block (isite-2, isite-1) the sweep moves
+            # one site, so exactly one interior environment gets refreshed
+            if not self.cv_mpo.to_right:
+                src, dst, site, domain = isite, isite - 1, isite - 1, "R"
+            else:
+                src, dst, site, domain = isite - 2, isite - 1, isite - 2, "L"
+        envs = (first_LR[src], second_LR[src], third_LR[src], forth_LR[src])
+        n1, n2, n3, nb = self._env_up(envs, site, domain)
+        first_LR[dst] = n1
+        second_LR[dst] = n2
+        third_LR[dst] = n3
+        forth_LR[dst] = nb
         return [first_LR, second_LR, third_LR, forth_LR]

@@ -288,6 +288,51 @@ def test_cv_finitet(spectratype):
         assert abs(res - oracle) / abs(oracle) < 1e-4
 
 
+@pytest.mark.fast
+def test_cv_finitet_2site():
+    """2-site finite-T DDMRG.  The reference carries this branch but leaves
+    it unrunnable (``/root/reference/renormalizer/cv/finitet.py:712-714``
+    raises "too expensive ... I drop it"); here it runs, so test it harder
+    than the reference tests 1site: against the dense Liouville-space oracle
+    AND against the 1site solve at matched omega."""
+    import scipy.linalg
+    from renormalizer_tpu.cv import SpectraFtCV
+
+    ph = Phonon.simple_phonon(Quantity(1.0), Quantity(0.4), 2)
+    model = HolsteinModel([Mol(Quantity(1.0), [ph], 1.0)] * 2, Quantity(0.2))
+    eta = 0.05
+    temperature = Quantity(0.5, "a.u.")
+    beta = temperature.to_beta()
+    procedure = [0.4, 0.2, 0.1, 0] + [0] * 10
+
+    h = dense_hamiltonian(model)
+    dims = model.pbond_list
+    mu = dense_hamiltonian(Model(model.basis, [Op(r"a^\dagger", d, 1.0) for d in model.e_dofs]))
+    qn = np.array([
+        sum(model.basis[i].sigmaqn[np.unravel_index(s, dims)[i]][0]
+            for i in range(len(dims)))
+        for s in range(h.shape[0])
+    ])
+    sidx = np.nonzero(qn == 0)[0]
+    rho = np.zeros_like(h)
+    rho[np.ix_(sidx, sidx)] = scipy.linalg.expm(-beta / 2 * h[np.ix_(sidx, sidx)])
+    rho /= np.linalg.norm(rho)
+    E, V = np.linalg.eigh(h)
+    B = V.T @ (mu @ rho) @ V
+    gaps = E[:, None] - E[None, :]
+
+    cv2 = SpectraFtCV(model, "abs", m_max=16, eta=eta, temperature=temperature,
+                      method="2site", procedure_cv=procedure)
+    cv1 = SpectraFtCV(model, "abs", m_max=16, eta=eta, temperature=temperature,
+                      method="1site", procedure_cv=procedure)
+    for omega in (1.05, 1.5):
+        res2 = cv2.cv_solve(omega)
+        oracle = eta / np.pi * np.sum(np.abs(B) ** 2 / ((omega - gaps) ** 2 + eta ** 2))
+        assert abs(res2 - oracle) / abs(oracle) < 1e-4
+        res1 = cv1.cv_solve(omega)
+        assert abs(res2 - res1) / abs(res1) < 1e-4
+
+
 def test_transition_expectation():
     """<bra|O|ket> with bra != ket and differing bond dimensions (regression:
     the final contraction used to flip the bra/ket environment axes)."""
