@@ -32,9 +32,11 @@ def optimize_ttns(ttns: TTNS, ttno: TTNO, procedure=None):
     macro_e = []
     for isweep, (m, percent) in enumerate(sweeps):
         micro_e = optimize_recursion(ttns.root, ttns, ttno, ttne, m, percent)
+        # with nroots > 1 each micro energy is a vector; rank by the lowest root
+        best = min(np.atleast_1d(np.real(e))[0] for e in micro_e)
         logger.info(
             f"TTNS macro sweep {isweep} (m={m}, percent={percent}): "
-            f"best micro e {min(np.real(micro_e)):.10g}"
+            f"best micro e {best:.10g}"
         )
         macro_e.append(micro_e[-1])
     return macro_e

@@ -84,20 +84,21 @@ class TTNBase(Tree):
             print_function(str(node.tensor.shape if full else node.tensor.shape[-1]))
 
     @property
+    def qntot(self) -> np.ndarray:
+        return np.asarray(self.root.qn[0])
+
+    @property
     def bond_dims(self):
         return [int(node.shape[-1]) for node in self.node_list]
 
     @property
     def bond_dims_mean(self) -> int:
-        return int(round(float(np.mean(self.bond_dims))))
+        dims = self.bond_dims
+        return int(round(sum(dims) / len(dims)))
 
     @property
     def pbond_dims(self) -> List[List[int]]:
-        return self.basis.pbond_dims
-
-    @property
-    def qntot(self) -> np.ndarray:
-        return self.root.qn[0]
+        return list(self.basis.pbond_dims)
 
 
 class TTNO(TTNBase):
@@ -105,22 +106,24 @@ class TTNO(TTNBase):
 
     @classmethod
     def identity(cls, basis: BasisTree):
-        if not basis.identity_ttno:
-            basis.identity_ttno = cls(basis, [basis.identity_op])
-        return basis.identity_ttno
+        cached = basis.identity_ttno
+        if cached is None:
+            cached = basis.identity_ttno = cls(basis, [basis.identity_op])
+        return cached
 
     @classmethod
     def dummy(cls, basis: BasisTree):
         """Same topology, dummy physical bonds; used for norms/RDMs."""
-        if not basis.dummy_ttno:
+        cached = basis.dummy_ttno
+        if cached is None:
             dummy_nodes = [
                 TreeNodeBasis([BasisDummy((id(node), "dummy"))])
                 for node in basis.node_list
             ]
             copy_connection(basis.node_list, dummy_nodes)
-            new_basis = BasisTree(dummy_nodes[0])
-            basis.dummy_ttno = cls(new_basis, [new_basis.identity_op])
-        return basis.dummy_ttno
+            shell = BasisTree(dummy_nodes[0])
+            cached = basis.dummy_ttno = cls(shell, [shell.identity_op])
+        return cached
 
     def __init__(self, basis: BasisTree, terms: Union[List[Op], Op],
                  root: TreeNodeTensor = None, algo: str = "Hopcroft-Karp"):
@@ -293,17 +296,18 @@ class TTNS(TTNBase):
         """Fill a TTNS from a flat masked coefficient vector
         (reference ``tree.py:397-424``); used by VMF evolution."""
         ttns = template.metacopy()
+        flat = np.asarray(tensors)
         cursor = 0
-        tensors = np.asarray(tensors)
         for node, tnode in zip(ttns.node_list, template.node_list):
-            qnmask = template.get_qnmask(tnode)
-            length = int(np.sum(qnmask))
-            tensor = np.zeros(tnode.shape, dtype=tensors.dtype)
-            tensor[qnmask] = tensors[cursor:cursor + length]
-            node.tensor = tensor
-            node.qn = tnode.qn
-            cursor += length
-        assert len(tensors) == cursor
+            mask = template.get_qnmask(tnode)
+            nkeep = int(mask.sum())
+            block = np.zeros(mask.shape, dtype=flat.dtype)
+            block[mask] = flat[cursor:cursor + nkeep]
+            node.tensor = block
+            node.qn = np.array(tnode.qn)
+            cursor += nkeep
+        if cursor != flat.size:
+            raise ValueError(f"coefficient vector length {flat.size} != masked size {cursor}")
         ttns.check_shape()
         return ttns
 
@@ -1025,15 +1029,16 @@ class TTNS(TTNBase):
 
     @property
     def norm(self):
-        return np.linalg.norm(self.coeff) * self.ttns_norm
+        return abs(self.coeff) * self.ttns_norm
 
     @property
     def ttns_norm(self):
-        res = self.expectation(TTNO.dummy(self.basis)).real
-        if res < 0:
-            assert np.abs(res) < 1e-8
-            res = 0
-        return float(np.sqrt(res))
+        sq = float(self.expectation(TTNO.dummy(self.basis)).real)
+        if sq < 0:
+            if abs(sq) >= 1e-8:
+                raise RuntimeError(f"negative norm^2: {sq}")
+            sq = 0.0
+        return sq ** 0.5
 
     def scale(self, val, inplace=False):
         new = self if inplace else self.copy()
