@@ -70,9 +70,9 @@ class MpDm(Mps, Mpo):
         array_up = self.model.basis[idx].sigmaqn
         return add_outer(array_up, np.zeros_like(array_up))
 
-    def evolve_exact(self, h_mpo, evolve_dt, space):
+    def evolve_exact(self, h_mpo, evolve_dt, space, shift=0.0):
         MPOprop = Mpo.exact_propagator(
-            self.model, -1.0j * evolve_dt, space=space, shift=-h_mpo.offset
+            self.model, -1.0j * evolve_dt, space=space, shift=shift - h_mpo.offset
         )
         # the propagator acts on the ancilla side
         new_mpdm = self.apply(MPOprop, canonicalise=True)

@@ -1271,10 +1271,13 @@ class Mps(MatrixProduct):
             loop -= 1
         return mps
 
-    def evolve_exact(self, h_mpo, evolve_dt, space):
+    def evolve_exact(self, h_mpo, evolve_dt, space, shift=0.0):
         """Exact local propagation within GS/EX space
-        (reference ``mps.py:1519-1523``)."""
-        MPOprop = Mpo.exact_propagator(self.model, -1j * evolve_dt, space, -h_mpo.offset)
+        (reference ``mps.py:1519-1523``).  ``shift`` adds a constant to the
+        local Hamiltonian, i.e. propagates with ``exp(-i (H + shift) t)`` —
+        useful to damp the phase oscillation of correlation functions."""
+        MPOprop = Mpo.exact_propagator(
+            self.model, -1j * evolve_dt, space, shift - h_mpo.offset)
         new_mps = MPOprop.apply(self, canonicalise=True)
         new_mps.coeff = self.coeff * np.exp(-1j * h_mpo.offset * evolve_dt)
         return new_mps

@@ -28,13 +28,23 @@ class SpectraExact(SpectraTdMpsJobBase):
     def __init__(self, model, spectratype, temperature=Quantity(0, "K"),
                  optimize_config=None, offset=Quantity(0),
                  ex_shift=0, gs_shift=0):
-        if ex_shift or gs_shift:
-            raise NotImplementedError("energy shifts of the exact propagator")
-        if temperature != 0:
-            raise NotImplementedError("finite-T exact spectra")
+        # supported cases: 0T emission on any chain; single-molecule
+        # abs/emi at any temperature (the exact propagator of the active
+        # space is local only for one molecule).  The reference carries a
+        # finite-T branch but asserts it off untested (exact.py:40-42);
+        # here it is enabled and oracle-tested for the 1-mol case.
         if spectratype == "abs" and len(model) != 1:
             raise ValueError("exact absorption requires a single molecule")
+        if temperature != 0 and len(model) != 1:
+            raise NotImplementedError(
+                "finite-T exact spectra require a single molecule")
         self.space1, self.space2 = _SPACES[spectratype]
+        # constant energy shifts of the two propagation spaces; both damp
+        # the phase oscillation of the correlation function
+        if spectratype == "emi":
+            self.shift1, self.shift2 = ex_shift, gs_shift
+        else:
+            self.shift1, self.shift2 = gs_shift, ex_shift
         self.optimize_config = (
             OptimizeConfig() if optimize_config is None else optimize_config)
         super().__init__(model, spectratype, temperature, offset=offset)
@@ -51,19 +61,32 @@ class SpectraExact(SpectraTdMpsJobBase):
     def init_mps(self):
         symbol = {"emi": "a", "abs": r"a^\dagger"}[self.spectratype]
         mu = Mpo.onsite(self.model, symbol, dipole=True)
-        state = self._ground_state()
-        if self.temperature != 0:  # pragma: no cover - gated in __init__
-            tp = ThermalProp(MpDm.from_mps(state), exact=True, space=self.space1)
+        if self.temperature == 0:
+            state = self._ground_state()
+        else:
+            # sqrt of the Boltzmann operator of the (local) space1
+            # Hamiltonian: purify from the T=inf max-entangled state, then
+            # half-beta exact imaginary-time propagation.  (The reference's
+            # untested branch seeds from the optimized ground state instead,
+            # which does not Boltzmann-weight a non-diagonal local H.)
+            if self.space1 == "EX":
+                start = MpDm.max_entangled_ex(self.model)
+            else:
+                start = MpDm.max_entangled_gs(self.model)
+            tp = ThermalProp(start, exact=True, space=self.space1)
             tp.evolve(None, 1, self.temperature.to_beta() / 2j)
             state = tp.latest_mps
         excited = mu.apply(state, canonicalise=True)
         excited.normalize("mps_norm_to_coeff")
-        bra = state.copy() if self.temperature != 0 else excited.copy()
-        return BraKetPair(bra, excited)
+        # Both sides carry the dipole; at finite T they then propagate in
+        # their respective spaces so <bra(t)|ket(t)> = Tr[e^{iH1 t} rho1
+        # mu^+ mu e^{-iH2 t}].  (The reference's untested branch kept the
+        # bra dipole-free, which is exactly zero by qn orthogonality.)
+        return BraKetPair(excited.copy(), excited)
 
     def evolve_single_step(self, evolve_dt):
         bra, ket = self.latest_mps
-        ket = ket.evolve_exact(self.h_mpo, evolve_dt, self.space2)
-        if self.temperature != 0:  # pragma: no cover - gated in __init__
-            bra = bra.evolve_exact(self.h_mpo, evolve_dt, self.space1)
+        ket = ket.evolve_exact(self.h_mpo, evolve_dt, self.space2, self.shift2)
+        if self.temperature != 0:
+            bra = bra.evolve_exact(self.h_mpo, evolve_dt, self.space1, self.shift1)
         return BraKetPair(bra, ket)

@@ -95,6 +95,77 @@ def test_spectra_exact_emi():
     assert np.all(np.abs(job.autocorr) <= abs(job.autocorr[0]) + 1e-8)
 
 
+def _local_phonon_hams(ph):
+    """Dense GS/EX local phonon Hamiltonians as the exact propagator builds
+    them (``Mpo.exact_propagator``)."""
+    import scipy.linalg  # noqa: F401
+
+    n = ph.pbond
+    ladder = np.diag(np.sqrt(np.arange(1, n)), -1) + np.diag(np.sqrt(np.arange(1, n)), 1)
+    h_gs = np.diag(ph.omega[0] * np.arange(n, dtype=float))
+    h_ex = np.diag(ph.omega[0] * np.arange(n, dtype=float)) + ph.term10 * ladder
+    return h_gs, h_ex
+
+
+@pytest.mark.fast
+@pytest.mark.parametrize("spectratype", ["emi", "abs"])
+def test_spectra_exact_finite_t(spectratype):
+    """Single-molecule finite-T exact spectra vs the dense thermal
+    correlation function.  The reference gates this case off untested
+    (``spectra/exact.py:40-42``); here it runs and is oracle-checked:
+    C(t)/C(0) = prod_modes Tr[rho1 e^{iH1 t} e^{-iH2 t}] / Tr[rho1]."""
+    import scipy.linalg
+
+    from renormalizer_tpu.spectra import SpectraExact
+
+    phs = [
+        Phonon.simple_phonon(Quantity(1.0), Quantity(0.7), 8),
+        Phonon.simple_phonon(Quantity(0.4), Quantity(1.1), 10),
+    ]
+    model = HolsteinModel([Mol(Quantity(1.0), phs, 1.0)], Quantity(0))
+    temperature = Quantity(0.5)  # k_B T in a.u. -> beta = 2
+    job = SpectraExact(model, spectratype, temperature=temperature)
+    nsteps, dt = 8, 0.3
+    job.evolve(dt, nsteps)
+    ac = np.array(job.autocorr)
+    ac = ac / ac[0]
+
+    beta = temperature.to_beta()
+    times = dt * np.arange(nsteps + 1)
+    oracle = np.ones(nsteps + 1, dtype=complex)
+    for ph in phs:
+        h_gs, h_ex = _local_phonon_hams(ph)
+        # thermal space / ket space per spectratype
+        h1, h2 = (h_ex, h_gs) if spectratype == "emi" else (h_gs, h_ex)
+        rho = scipy.linalg.expm(-beta * h1)
+        rho /= np.trace(rho)
+        oracle *= np.array([
+            np.trace(rho @ scipy.linalg.expm(1j * h1 * t)
+                     @ scipy.linalg.expm(-1j * h2 * t))
+            for t in times
+        ])
+    assert np.allclose(ac, oracle, atol=1e-7)
+
+
+@pytest.mark.fast
+def test_spectra_exact_shift():
+    """gs_shift adds a pure phase e^{-i s t} to the zero-T emission
+    correlation (the reference asserts shifts off untested)."""
+    from renormalizer_tpu.spectra import SpectraExact
+
+    ph = Phonon.simple_phonon(Quantity(1.0), Quantity(0.5), 4)
+    model = HolsteinModel([Mol(Quantity(1.0), [ph], 1.0)] * 2, Quantity(0.1))
+    shift = 0.37
+    nsteps, dt = 5, 0.2
+    job0 = SpectraExact(model, "emi")
+    job0.evolve(dt, nsteps)
+    jobs = SpectraExact(model, "emi", gs_shift=shift)
+    jobs.evolve(dt, nsteps)
+    times = dt * np.arange(nsteps + 1)
+    expected = np.array(job0.autocorr) * np.exp(-1j * shift * times)
+    assert np.allclose(np.array(jobs.autocorr), expected, atol=1e-8)
+
+
 def test_sbm_dynamics():
     """Unbiased spin-boson: sigma_z decays from 1; cross-check vs dense."""
     import scipy.linalg
