@@ -156,11 +156,14 @@ def bench_tpu():
 
     def sweep(isweep, m, percent, tag):
         nonlocal opt_e_idx, energy, mpo
+        from renormalizer_tpu.mps import trunc_device
+
         mps.compress_config = CompressConfig(
             criteria=CompressCriteria.fixed, max_bonddim=m)
         backend.sync()
         rtt0 = relay_rtt()
         tr0, co0 = trace_count(), compile_count()
+        plan0 = dict(trunc_device.PLAN_STATS)
         t0 = time.time()
         micro, _, mpo = single_sweep(mps, mpo, environ, None, percent, opt_e_idx)
         t_dispatch = time.time() - t0
@@ -168,6 +171,8 @@ def bench_tpu():
         dt = time.time() - t0
         rtt1 = relay_rtt()
         new_traces, new_compiles = trace_count() - tr0, compile_count() - co0
+        plan_delta = {k: trunc_device.PLAN_STATS[k] - plan0[k]
+                      for k in plan0 if trunc_device.PLAN_STATS[k] != plan0[k]}
         # phase attribution (VERDICT r3 #10): `dispatch` is host-side python
         # + async dispatch inside single_sweep, `drain` is the final sync
         # waiting on in-flight device work; the two RTT samples bracketing
@@ -183,6 +188,7 @@ def bench_tpu():
             "rtt_after_ms": round(rtt1 * 1e3, 1),
             "new_traces": new_traces,
             "new_compiles": new_compiles,
+            "plan_paths": plan_delta,
         })
         opt_e = min(micro)
         opt_e_idx = opt_e[1]
@@ -191,7 +197,8 @@ def bench_tpu():
         # during the (otherwise silent) multi-minute sweep loop
         print(f"[bench] sweep {isweep} ({tag}) {dt:.2f}s "
               f"(dispatch {t_dispatch:.2f}s, rtt {rtt0*1e3:.0f}/{rtt1*1e3:.0f}ms, "
-              f"traces +{new_traces}, compiles +{new_compiles}) "
+              f"traces +{new_traces}, compiles +{new_compiles}, "
+              f"plan {plan_delta}) "
               f"e={energy:.6f}", file=sys.stderr, flush=True)
         return dt
 

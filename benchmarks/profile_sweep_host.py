@@ -40,22 +40,45 @@ opt_e_idx = None
 mps.compress_config = CompressConfig(
     criteria=CompressCriteria.fixed, max_bonddim=M)
 
-for i, percent in enumerate([0.4, 0.2, 0.0] + [0.0] * 11):
+from renormalizer_tpu.mps import trunc_device  # noqa: E402
+
+
+def plan_delta(before):
+    return {k: trunc_device.PLAN_STATS[k] - before[k] for k in before}
+
+
+# warm + STABILIZE exactly like bench.py: keep sweeping until a sweep adds
+# no new jit trace anywhere — only then is the profile attributing the
+# steady state rather than the compile/drift transient
+stable = 0
+for i, percent in enumerate([0.4, 0.2] + [0.0] * 38):
     backend.sync()
+    before = dict(trunc_device.PLAN_STATS)
+    tr0 = bench.trace_count()
     t0 = time.time()
     micro, _, mpo = single_sweep(mps, mpo, environ, None, percent, opt_e_idx)
     backend.sync()
     opt_e_idx = min(micro)[1]
-    print(f"warm sweep {i}: {time.time()-t0:.2f}s", file=sys.stderr, flush=True)
+    new_tr = bench.trace_count() - tr0
+    print(f"warm sweep {i}: {time.time()-t0:.2f}s traces+{new_tr} "
+          f"plan={plan_delta(before)}", file=sys.stderr, flush=True)
+    stable = stable + 1 if new_tr == 0 else 0
+    if stable >= 3 and i >= 8:
+        break
 
 backend.sync()
+before = dict(trunc_device.PLAN_STATS)
 prof = cProfile.Profile()
 t0 = time.time()
 prof.enable()
 micro, _, mpo = single_sweep(mps, mpo, environ, None, 0.0, opt_e_idx)
 prof.disable()
 backend.sync()
-print(f"profiled sweep: {time.time()-t0:.2f}s", file=sys.stderr)
+print(f"profiled sweep: {time.time()-t0:.2f}s plan={plan_delta(before)}",
+      file=sys.stderr)
+print(f"sync sites (whole run): "
+      f"{trunc_device.PLAN_STATS.get('sync_sites', [])[-12:]}",
+      file=sys.stderr)
 s = io.StringIO()
 ps = pstats.Stats(prof, stream=s).sort_stats("cumulative")
 ps.print_stats(45)

@@ -16,6 +16,7 @@ TPU-first replacements for the reference's vendored numerics:
   to the host per step.
 """
 
+import os
 from functools import lru_cache, partial
 from typing import Callable, NamedTuple, Tuple
 
@@ -24,6 +25,46 @@ import jax.numpy as jnp
 import numpy as np
 
 _BIG = 1e30
+
+
+# ---------------------------------------------------------------------------
+# Davidson workspace budgeting
+#
+# The on-device trial basis is two (max_space, N) panels.  At M=1024 2-site a
+# single row is ~150 MB, so the default max_space=12 workspace alone is
+# ~3.6 GB of HBM on top of environments, site tensors and the truncation
+# scratch.  The budget below shrinks max_space first (the thick restart keeps
+# small workspaces convergent, only slower), and above the point where even
+# the minimal workspace cannot fit, the basis spills to host RAM — the
+# reference's out-of-core h5py trial store
+# (``renormalizer/lib/davidson/davidson.py:515-560``) re-done as a
+# host-orchestrated Davidson with a device matvec.
+# ---------------------------------------------------------------------------
+
+_MIN_DEVICE_SPACE = 4
+
+
+def _davidson_ws_budget() -> float:
+    """Davidson workspace budget in bytes (``RENO_DAVIDSON_WS_BYTES``
+    overrides; default 4 GiB on accelerators, unlimited on CPU)."""
+    env = os.environ.get("RENO_DAVIDSON_WS_BYTES")
+    if env:
+        return float(env)
+    from renormalizer_tpu.backend import backend
+
+    return 4 * 2 ** 30 if backend.is_accelerator else float("inf")
+
+
+def _budgeted_max_space(max_space: int, n: int, itemsize: int) -> int:
+    """Largest workspace <= ``max_space`` whose two (S, N) panels fit the
+    budget; 0 means even the minimal device workspace does not fit (spill)."""
+    budget = _davidson_ws_budget()
+    if budget == float("inf"):
+        return max_space
+    cap = int(budget // (2 * n * itemsize))
+    if cap < _MIN_DEVICE_SPACE:
+        return 0
+    return min(max_space, cap)
 
 
 # ---------------------------------------------------------------------------
@@ -136,8 +177,14 @@ def davidson(
     are flat device vectors in the qn-masked subspace."""
     from renormalizer_tpu.ops.contract import safe_asarray
 
+    x0 = safe_asarray(x0)
+    ms = _budgeted_max_space(
+        max_space, int(x0.size), np.dtype(str(x0.dtype)).itemsize)
+    # a generic hop closure cannot spill (no formula to rebuild on host);
+    # run with the minimal workspace — thick restart keeps it convergent
+    ms = ms or _MIN_DEVICE_SPACE
     return _davidson_core(
-        hop, safe_asarray(x0), safe_asarray(hdiag), tol, max_cycle, max_space
+        hop, x0, safe_asarray(hdiag), tol, max_cycle, ms
     )
 
 
@@ -171,9 +218,15 @@ def _davidson_factory(formula: str, cshape: Tuple[int, ...], inverse: float,
             # residual inherits them (out-of-sector r is exactly 0).
             return hop_raw(x) * inverse
 
-        hdiag = jnp.where(mask, hdiag_full * inverse, _OUT_OF_SECTOR)
-        x0 = jnp.where(mask, x0_full, 0)
-        return _davidson_core(hop, x0, hdiag, tol, max_cycle, max_space)
+        hdiag = jnp.where(mask, hdiag_full.reshape(-1) * inverse,
+                          _OUT_OF_SECTOR)
+        x0 = jnp.where(mask, x0_full.reshape(-1), 0)
+        theta, x, it = _davidson_core(hop, x0, hdiag, tol, max_cycle, max_space)
+        # gauge fix (largest element positive) + reshape folded into the
+        # same dispatch: eagerly they cost 3-4 relay dispatches per site
+        # update (profiled: 57 + 79 ms per 18-update steady sweep)
+        x = x / jnp.sign(x[jnp.abs(x).argmax()])
+        return theta, x.reshape(cshape), it
 
     if diag_mode is None:
         @jax.jit
@@ -211,8 +264,22 @@ def davidson_fused(formula, operands, cshape, x0_full, hdiag_full, mask,
 
     When a global mesh is installed (``parallel.set_global_mesh``) the
     matvec is bond-tensor-parallel over the mesh's ``i``/``j`` axes for
-    sites whose bond dimensions divide the mesh."""
+    sites whose bond dimensions divide the mesh.
+
+    The workspace is HBM-budgeted (``RENO_DAVIDSON_WS_BYTES``): the trial
+    space shrinks first, and local problems too large for even the minimal
+    on-device workspace run the host-RAM-spilled Davidson instead."""
     from renormalizer_tpu.parallel.mesh import get_global_mesh
+
+    n = int(np.prod(cshape))
+    itemsize = np.dtype(str(jnp.asarray(x0_full).dtype)).itemsize
+    max_space_eff = _budgeted_max_space(int(max_space), n, itemsize)
+    if max_space_eff == 0:
+        return _davidson_spilled(
+            formula, operands, cshape, x0_full, hdiag_full, mask,
+            inverse=inverse, tol=tol, max_cycle=max_cycle, diag_mode=diag_mode,
+        )
+    max_space = max_space_eff
 
     mesh = get_global_mesh()
     operand_shapes = (
@@ -221,23 +288,80 @@ def davidson_fused(formula, operands, cshape, x0_full, hdiag_full, mask,
     if mesh is not None:
         from renormalizer_tpu.parallel import hop as _phop
 
-        _phop.record_engagement(mesh, formula, operand_shapes)
+        _phop.record_engagement(mesh, formula, operand_shapes, tuple(cshape))
     fn = _davidson_factory(formula, tuple(cshape), float(inverse), float(tol),
                            int(max_cycle), int(max_space), mesh, operand_shapes,
                            diag_mode)
     reshard = _mesh_replicator(mesh)
     operands = [reshard(o) for o in operands]
+    # ravel/reshape of the guess happens INSIDE the jitted solver (an eager
+    # ravel costs a dispatch per site update); mask arrives pre-raveled from
+    # the device_mask cache so .ravel() below is a no-op object return
     if diag_mode is not None:
         assert hdiag_full is None
         return fn(
-            reshard(jnp.asarray(x0_full).ravel()),
+            reshard(jnp.asarray(x0_full)),
             reshard(jnp.asarray(mask).ravel()), *operands
         )
     return fn(
-        reshard(jnp.asarray(x0_full).ravel()),
-        reshard(jnp.asarray(hdiag_full).ravel()),
+        reshard(jnp.asarray(x0_full)),
+        reshard(jnp.asarray(hdiag_full)),
         reshard(jnp.asarray(mask).ravel()), *operands
     )
+
+
+@lru_cache(maxsize=None)
+def _spill_matvec_factory(formula: str, cshape: Tuple[int, ...], inverse: float):
+    @jax.jit
+    def run(v, *operands):
+        out = jnp.einsum(formula, *operands, v.reshape(cshape),
+                         optimize="optimal")
+        return out.ravel() * inverse
+
+    return run
+
+
+def _davidson_spilled(formula, operands, cshape, x0_full, hdiag_full, mask,
+                      inverse=1.0, tol=1e-10, max_cycle=100, diag_mode=None):
+    """Out-of-core Davidson: the trial basis lives in host RAM, only the
+    active vector and the matvec run on the device.
+
+    This is the TPU rendition of the reference's h5py-backed trial store
+    (``renormalizer/lib/davidson/davidson.py:515-560``): local problems whose
+    (max_space, N) workspace exceeds the HBM budget stream one basis row at a
+    time through the device.  Each iteration pays two vector transfers, so
+    this is strictly a does-not-OOM path — the budgeted on-device solver
+    handles everything that fits."""
+    if hdiag_full is None:
+        from renormalizer_tpu.ops.contract import hop_diag
+
+        nsite = 1 if diag_mode.startswith("1") else 2
+        twolayer = diag_mode.endswith("2l")
+        if twolayer:
+            cmo = [operands[1]] if nsite == 1 else [operands[1], operands[3]]
+        else:
+            cmo = list(operands[1:-1])
+        hdiag_full = hop_diag(operands[0], operands[-1], cmo, twolayer).ravel()
+    mask_np = np.asarray(mask).ravel()
+    hd = np.where(mask_np, np.asarray(hdiag_full).ravel() * inverse,
+                  _OUT_OF_SECTOR)
+    matvec = _spill_matvec_factory(formula, tuple(cshape), float(inverse))
+
+    def hop(v_np):
+        # the MPO/environments are exactly qn-block-sparse: H @ (masked v)
+        # is exactly zero outside the sector, so no re-masking is needed
+        return np.asarray(matvec(jnp.asarray(v_np), *operands))
+
+    def precond(r, e):
+        return r / (hd - e + 1e-4)
+
+    x0 = np.where(mask_np, np.asarray(x0_full).ravel(), 0)
+    # strict residual criterion: the device Davidson converges on rnorm,
+    # and the stagnation early-exit can stall 1e-4 from the eigenpair
+    e, c = davidson_host(hop, [x0], precond, nroots=1, tol=tol,
+                         max_cycle=max_cycle, strict_residual=True)
+    c = c / np.sign(c[np.argmax(np.abs(c))])  # same gauge as the fused path
+    return jnp.asarray(e), jnp.asarray(c).reshape(cshape), jnp.asarray(-1)
 
 
 def _mesh_replicator(mesh):
@@ -361,7 +485,7 @@ def davidson_multiroot(
 
 
 def davidson_host(hop, cguess, precond, nroots=1, tol=1e-9, max_cycle=100,
-                  max_space=None):
+                  max_space=None, strict_residual=False):
     """Host-orchestrated block Davidson for operators whose matvec is not
     jax-traceable (e.g. the TDA tangent-space Hamiltonian whose hop sweeps
     environments in Python).  ``hop`` maps a 1-d numpy vector to a 1-d numpy
@@ -403,7 +527,8 @@ def davidson_host(hop, cguess, precond, nroots=1, tol=1e-9, max_cycle=100,
         R = HX - thetas[:, None] * X
         rnorms = np.linalg.norm(R, axis=1)
         converged = np.all(rnorms < tol) or (
-            e_prev is not None and len(e_prev) == k
+            not strict_residual
+            and e_prev is not None and len(e_prev) == k
             and np.allclose(thetas, e_prev, atol=tol)
         )
         if converged:
@@ -560,7 +685,7 @@ def expm_krylov_fused(formula, operands, dt, c0, max_m: int = 30):
     if mesh is not None:
         from renormalizer_tpu.parallel import hop as _phop
 
-        _phop.record_engagement(mesh, formula, operand_shapes)
+        _phop.record_engagement(mesh, formula, operand_shapes, tuple(c0.shape))
     fn = _expm_factory(formula, tuple(c0.shape), m, mesh, operand_shapes)
     reshard = _mesh_replicator(mesh)
     # dt may be a python complex scalar (-i*dt for real-time propagation):

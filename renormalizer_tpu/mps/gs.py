@@ -466,6 +466,10 @@ def eigh_iterative(mps, qn_mask, ltensor, rtensor, cmo, omega, cguess):
                 device_mask(qn_mask), inverse=inverse, tol=tol, max_cycle=100,
                 diag_mode=diag_mode,
             )
+            # gauge fix + cshape reshape happen inside the fused dispatch
+            if logger.isEnabledFor(logging.DEBUG):
+                logger.debug(f"use davidson, HC hops: {int(niter)}")
+            return e, c
         else:
             hdiag_eff = jnp.where(mask_flat, hdiag, 1e10)
             x0 = jnp.where(mask_flat, jnp.asarray(cguess[0]).ravel(), 0)

@@ -716,6 +716,7 @@ class MatrixProduct:
                 # (each one costs a full relay RTT, ~34 ms measured).
                 counts = plan[2]
                 nvisit += 1
+                trunc_device.PLAN_STATS["static"] += 1
             elif plan is not None and plan[0] == pattern:
                 # previous visit's spectrum: already copied to the host.
                 # Also the periodic revalidation path: every
@@ -727,9 +728,17 @@ class MatrixProduct:
                 # the counts still match a top-k pattern.
                 sigma = trunc_device.lam_to_sigma(plan[1])
                 nvisit = 0
+                trunc_device.PLAN_STATS["stale"] += 1
             else:
                 sigma = trunc_device.lam_to_sigma(lam)  # sync once
                 nvisit = 0
+                trunc_device.PLAN_STATS["sync"] += 1
+                trunc_device.PLAN_STATS.setdefault("sync_sites", []).append(
+                    (plan_key,
+                     "no-plan" if plan is None
+                     else "pattern" if plan[0] != pattern
+                     else "layout" if plan[3] != layout
+                     else "unarmed"))
             try:
                 lam.copy_to_host_async()
             except Exception:
@@ -746,26 +755,22 @@ class MatrixProduct:
             )
             msdim = len(sidx)
             msqn = np.array([qn_list[i] for i in sidx])
-            ms_mat, comp_mat = trunc_device.apply_selection(
-                cstruct, parts, sidx, m, n, system
+            ms, compms = trunc_device.apply_selection(
+                cstruct, parts, sidx, m, n, system,
+                lshape=qnbigl.shape[:-1], rshape=qnbigr.shape[:-1],
             )
             if trunc_device.verify_level():
                 # the zero-sync production path must not be the only one
                 # without optional runtime verification; the debug tier
                 # already syncs, so fetching the current spectrum is fine
+                ms_mat = (ms.reshape(m, msdim) if self.to_right
+                          else jnp.moveaxis(ms, 0, -1).reshape(n, msdim))
                 trunc_device.verify_update(
                     ms_mat, cstruct, trunc_device.lam_to_sigma(lam), sidx,
                     m, n, system,
                     label=f"static cidx={cidx} to_right={self.to_right}",
                     replay=(qnbigl, qnbigr, self.qntot, cap),
                 )
-            if self.to_right:
-                ms = ms_mat.reshape(list(qnbigl.shape[:-1]) + [msdim])
-                compms = comp_mat.reshape([msdim] + list(qnbigr.shape[:-1]))
-            else:
-                ms = jnp.moveaxis(
-                    ms_mat.reshape(list(qnbigr.shape[:-1]) + [msdim]), -1, 0)
-                compms = comp_mat.reshape(list(qnbigl.shape[:-1]) + [msdim])
             return ms, msdim, msqn, compms
         # bucketed kernels mark pad candidate slots with sigma = -1; they
         # must count toward neither the bond-dimension target nor selection
@@ -805,7 +810,16 @@ class MatrixProduct:
         # a 0.7 s sweep becoming 3-28 s for several sweeps).  Keep the
         # plan's frozen counts unless the fresh selection is MATERIALLY
         # better (relative kept-weight improvement above tolerance).
-        if (use_async and plan is not None and plan[0] == pattern
+        #
+        # The comparison deliberately does NOT require the qn digest to
+        # match: a tied flip at one site changes the DOWNSTREAM sites'
+        # digests, so with a pattern-gated hysteresis one flip forces the
+        # whole downstream chain back to blocking sync visits every sweep
+        # (profiled steady state: 4-9 of 18 updates stuck on the sync path,
+        # ~60 ms each).  The frozen counts only need the sector LAYOUT to
+        # match — the fresh spectrum (already fetched on this visit) then
+        # proves them near-optimal or replaces them.
+        if (use_async and plan is not None
                 and plan[2] is not None and plan[3] == layout):
             nsec_l, l1p_l = layout
             old_sidx = sorted(
@@ -839,23 +853,22 @@ class MatrixProduct:
                     self._trunc_plans[plan_key] = (
                         plan[0], plan[1], tuple(new_counts), layout,
                         plan[4] if len(plan) > 4 else 0)
+            else:
+                trunc_device.PLAN_STATS["noarm"] += 1
         msdim = len(sidx)
         msqn = np.array([qn_list[i] for i in sidx])
-        ms_mat, comp_mat = trunc_device.apply_selection(
-            cstruct, parts, sidx, m, n, system
+        ms, compms = trunc_device.apply_selection(
+            cstruct, parts, sidx, m, n, system,
+            lshape=qnbigl.shape[:-1], rshape=qnbigr.shape[:-1],
         )
         if trunc_device.verify_level():
+            ms_mat = (ms.reshape(m, msdim) if self.to_right
+                      else jnp.moveaxis(ms, 0, -1).reshape(n, msdim))
             trunc_device.verify_update(
                 ms_mat, cstruct, sigma, sidx, m, n, system,
                 label=f"cidx={cidx} to_right={self.to_right} cap={cap}",
                 replay=(qnbigl, qnbigr, self.qntot, cap),
             )
-        if self.to_right:
-            ms = ms_mat.reshape(list(qnbigl.shape[:-1]) + [msdim])
-            compms = comp_mat.reshape([msdim] + list(qnbigr.shape[:-1]))
-        else:
-            ms = jnp.moveaxis(ms_mat.reshape(list(qnbigr.shape[:-1]) + [msdim]), -1, 0)
-            compms = comp_mat.reshape(list(qnbigl.shape[:-1]) + [msdim])
         return ms, msdim, msqn, compms
 
     def _write_back(self, averaged_ms, cstruct, cidx, ms, msdim, msqn, compms,

@@ -777,6 +777,20 @@ def _device_idx(arr: np.ndarray, device=None):
     return hit
 
 
+# per-process counters of which selection path each async-mode site update
+# took: "static" = plan-constrained, no device data at all; "stale" = one
+# host sync against the previous visit's prefetched spectrum (includes
+# periodic revalidations); "sync" = blocking fetch of the current spectrum
+# (plan miss); "noarm" = a visit whose selection was not top-k-per-sector so
+# the static path could not arm.  Read by bench.py's per-sweep phase profile.
+PLAN_STATS = {"static": 0, "stale": 0, "sync": 0, "noarm": 0}
+
+
+def reset_plan_stats():
+    PLAN_STATS.clear()
+    PLAN_STATS.update({"static": 0, "stale": 0, "sync": 0, "noarm": 0})
+
+
 def async_enabled() -> bool:
     """Zero-sync steady-state sweeps: when a site's quantum-number pattern is
     unchanged since the previous sweep, select the retained basis from the
@@ -1185,12 +1199,14 @@ def _gather_pair_factory(nparts: int):
 
 
 @lru_cache(maxsize=None)
-def _apply_factory(nparts: int, transpose: bool):
+def _apply_factory(nparts: int, transpose: bool, mn: tuple = None,
+                   lshape: tuple = None, rshape: tuple = None):
     import jax
     import jax.numpy as jnp
 
     @jax.jit
     def run(cmat, sel, *parts):
+        cmat = cmat.reshape(mn)
         u = parts[0] if nparts == 1 else jnp.concatenate(parts, axis=1)
         ms = u[:, sel]
         if transpose:
@@ -1198,25 +1214,43 @@ def _apply_factory(nparts: int, transpose: bool):
             comp = cmat @ ms.conj()
         else:
             comp = ms.conj().T @ cmat  # = S V^H
-        return ms, comp
+        if lshape is None:
+            return ms, comp
+        # site/complement tensor reshapes (and the to_left axis move)
+        # folded into the same dispatch: eagerly they cost 2 relay
+        # dispatches per site update
+        msdim = ms.shape[1]
+        if transpose:
+            site = jnp.moveaxis(ms.reshape(rshape + (msdim,)), -1, 0)
+            compms = comp.reshape(lshape + (msdim,))
+        else:
+            site = ms.reshape(lshape + (msdim,))
+            compms = comp.reshape((msdim,) + rshape)
+        return site, compms
 
     return run
 
 
 def apply_selection(coef_array, parts, sidx: np.ndarray, m: int, n: int,
-                    system: str):
+                    system: str, lshape: tuple = None, rshape: tuple = None):
     """Gather the selected candidate columns and rotate the complement.
 
-    Returns ``(ms, comp)`` device matrices: to_right ``ms`` is (m, M) and
-    ``comp = ms^H C`` is (M, n); to_left ``ms`` is (n, M) (Vset convention,
-    i.e. conj(V)) and ``comp = C conj(ms)`` is (m, M).
+    With ``lshape``/``rshape`` (the qnbig free-leg shapes) the returned
+    tensors come back fully reshaped for the chain — to_right
+    ``(lshape + (M,), (M,) + rshape)``, to_left ``((M,) + rshape... moved,
+    lshape + (M,))`` — in the same dispatch.  Without them (legacy), flat
+    matrices: to_right ``ms`` is (m, M) and ``comp = ms^H C`` is (M, n);
+    to_left ``ms`` is (n, M) (Vset convention, i.e. conj(V)) and
+    ``comp = C conj(ms)`` is (m, M).
     """
     import jax.numpy as jnp
 
     from renormalizer_tpu.ops.contract import _harmonize_devices
 
-    cmat = jnp.asarray(coef_array).reshape(m, n)
-    run = _apply_factory(len(parts), system == "R")
+    cmat = jnp.asarray(coef_array)
+    run = _apply_factory(len(parts), system == "R", (m, n),
+                         None if lshape is None else tuple(lshape),
+                         None if rshape is None else tuple(rshape))
     sel = jnp.asarray(np.asarray(sidx, dtype=np.int32))
     args = _harmonize_devices([cmat, sel, *parts])
     return run(*args)

@@ -496,10 +496,10 @@ def hop_dense(ltensor, rtensor, cmo, twolayer: bool = False):
 # used by the tree tensor network engine where indices are identified by
 # (tree, parent-dofs, child-dofs) tuples rather than positional letters
 
-def einsum_interleaved(*args):
-    """``einsum_interleaved(t0, idx0, t1, idx1, ..., out_idx)`` where each
-    ``idx`` is a sequence of hashable labels.  Labels are mapped to einsum
-    symbols and the contraction runs through the jitted einsum cache."""
+def interleaved_formula(*args):
+    """Map ``(t0, idx0, t1, idx1, ..., out_idx)`` label lists to a standard
+    einsum ``(formula, tensors)`` pair without contracting.  Lets callers
+    (e.g. the bond-tensor-parallel tree hop) inspect or shard the formula."""
     import opt_einsum
 
     assert len(args) % 2 == 1
@@ -518,7 +518,15 @@ def einsum_interleaved(*args):
 
     lhs = ",".join(to_symbols(labels) for labels in index_lists)
     rhs = to_symbols(out_indices)
-    return einsum(lhs + "->" + rhs, *tensors)
+    return lhs + "->" + rhs, tensors
+
+
+def einsum_interleaved(*args):
+    """``einsum_interleaved(t0, idx0, t1, idx1, ..., out_idx)`` where each
+    ``idx`` is a sequence of hashable labels.  Labels are mapped to einsum
+    symbols and the contraction runs through the jitted einsum cache."""
+    formula, tensors = interleaved_formula(*args)
+    return einsum(formula, *tensors)
 
 
 # --- fused chain overlap ---------------------------------------------------

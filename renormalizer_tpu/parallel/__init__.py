@@ -26,4 +26,7 @@ from renormalizer_tpu.parallel.mesh import (
     make_mesh,
     set_global_mesh,
 )
-from renormalizer_tpu.parallel.hop import sharded_hop_factory
+from renormalizer_tpu.parallel.hop import (
+    sharded_general_hop_factory,
+    sharded_hop_factory,
+)

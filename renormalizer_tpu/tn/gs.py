@@ -71,6 +71,24 @@ def optimize_2site(snode: TreeNodeTensor, ttns: TTNS, ttno: TTNO, ttne: TTNEnvir
     expr, hdiag = hop_expr2(snode, ttns, ttno, ttne)
     cshape = qn_mask.shape
 
+    # bond-tensor-parallel tree matvec: when a global mesh is installed,
+    # shard the two largest divisible free bra axes (child + parent
+    # environments) over the mesh's i/j axes (green-field vs the reference,
+    # whose tree engine is single-device: ``renormalizer/tn/gs.py:73``)
+    from renormalizer_tpu.parallel.mesh import get_global_mesh
+
+    mesh = get_global_mesh()
+    if mesh is not None:
+        from renormalizer_tpu.parallel import hop as phop
+        from renormalizer_tpu.tn.hop_expr import hop_formula2
+
+        formula, operands = hop_formula2(snode, ttns, ttno, ttne)
+        operand_shapes = tuple(tuple(o.shape) for o in operands)
+        if phop.record_engagement_general(mesh, formula, operand_shapes, cshape):
+            sharded = phop.sharded_general_hop_factory(
+                mesh, formula, operand_shapes, cshape)
+            expr = lambda c: sharded(*operands, c).reshape(cshape)  # noqa: E731
+
     def hop(x):
         x = jnp.where(mask_flat, x, 0)
         out = expr(x.reshape(cshape)).ravel()

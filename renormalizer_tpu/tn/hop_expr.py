@@ -10,7 +10,7 @@ from typing import List
 import jax.numpy as jnp
 import numpy as np
 
-from renormalizer_tpu.ops.contract import einsum_interleaved
+from renormalizer_tpu.ops.contract import einsum_interleaved, interleaved_formula
 from renormalizer_tpu.tn.node import TreeNodeTensor
 from renormalizer_tpu.tn.tree import TTNEnviron, TTNO, TTNS
 
@@ -73,9 +73,7 @@ def hop_expr1(snode: TreeNodeTensor, ttns: TTNS, ttno: TTNO, ttne: TTNEnviron,
     return expr, _get_hdiag(args, input_indices)
 
 
-def hop_expr2(snode: TreeNodeTensor, ttns: TTNS, ttno: TTNO, ttne: TTNEnviron):
-    """Two-site (node + parent) effective Hamiltonian
-    (reference ``tn/hop_expr.py:76-113``)."""
+def _expr2_args(snode: TreeNodeTensor, ttns: TTNS, ttno: TTNO, ttne: TTNEnviron):
     sparent = snode.parent
     enode = ttne.node_list[ttns.node_idx[snode]]
     eparent = ttne.node_list[ttns.node_idx[sparent]]
@@ -95,9 +93,30 @@ def hop_expr2(snode: TreeNodeTensor, ttns: TTNS, ttno: TTNO, ttne: TTNEnviron):
 
     input_indices = ttns.get_node_indices(snode, include_parent=True, ttno=ttno)
     output_indices = ttns.get_node_indices(snode, conj=True, include_parent=True)
+    return args, input_indices, output_indices
+
+
+def hop_expr2(snode: TreeNodeTensor, ttns: TTNS, ttno: TTNO, ttne: TTNEnviron):
+    """Two-site (node + parent) effective Hamiltonian
+    (reference ``tn/hop_expr.py:76-113``)."""
+    args, input_indices, output_indices = _expr2_args(snode, ttns, ttno, ttne)
     expr = _make_expr(args, input_indices, output_indices)
     hdiag = _get_hdiag(args, input_indices)
     return expr, hdiag
+
+
+def hop_formula2(snode: TreeNodeTensor, ttns: TTNS, ttno: TTNO, ttne: TTNEnviron):
+    """The two-site effective-H matvec as a standard einsum
+    ``(formula, operands)`` pair — the form the bond-tensor-parallel mesh
+    factory (``parallel.hop.sharded_general_hop_factory``) shards.  The
+    local (ket) tensor is the LAST term of the formula."""
+    args, input_indices, output_indices = _expr2_args(snode, ttns, ttno, ttne)
+    # dummy x: only its labels matter for formula construction
+    qn_mask_shape = ttns.get_qnmask(snode, include_parent=True).shape
+    dummy_x = jnp.zeros(qn_mask_shape, dtype=jnp.asarray(args[0]).dtype)
+    full_args = list(args) + [dummy_x, input_indices, output_indices]
+    formula, tensors = interleaved_formula(*full_args)
+    return formula, tensors[:-1]
 
 
 def _is_conj_label(label) -> bool:

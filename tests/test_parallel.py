@@ -108,9 +108,10 @@ def test_tdvp_with_global_mesh(mesh22):
 
 
 def test_ttns_with_global_mesh(mesh22):
-    """TTNS DMRG with the global mesh installed matches single-device
-    (the tree engine shares the contraction/solver layer; sites whose
-    formulas cannot shard fall back transparently)."""
+    """TTNS DMRG with the global mesh installed runs the generalized
+    bond-tensor-parallel tree hop (child/parent environment bra axes over
+    i/j) and matches single-device; non-shardable nodes fall back."""
+    from renormalizer_tpu.parallel import hop as phop
     from renormalizer_tpu.tn import BasisTree, TTNO, TTNS, optimize_ttns
 
     nspin = 8
@@ -124,13 +125,78 @@ def test_ttns_with_global_mesh(mesh22):
         e = optimize_ttns(ttns, ttno)
         return min(np.min(np.asarray(x)) for x in e)
 
+    phop.reset_stats()
     e_mesh = run()
+    assert phop.STATS["sharded"] > 0, "tree hop never engaged the mesh"
     par.set_global_mesh(None)
     e_single = run()
     model = Model(basis, ham)
     e_exact = np.linalg.eigvalsh(dense_hamiltonian(model))[0]
-    assert abs(e_mesh - e_single) < 1e-9
+    assert abs(e_mesh - e_single) < 1e-7
     assert abs(e_mesh - e_exact) < 1e-7
+
+
+@pytest.mark.fast
+def test_general_tree_hop_matches_dense(mesh22):
+    """The generalized sharded hop (arbitrary effective-H einsum) equals the
+    single-device einsum on a 3-child tree-node contraction."""
+    import jax.numpy as jnp
+
+    # child env E1(bra a, mpo e, ket b), parent env Ep(bra c, mpo f, ket d),
+    # TTNO core O(e, phys-out g, phys-in h, f), x(b, h, d) -> y(a, g, c);
+    # phys dim 3 is indivisible so the i/j axes land on the two env bras
+    formula = "aeb,cfd,eghf,bhd->agc"
+    rng = np.random.default_rng(3)
+    E1 = rng.standard_normal((8, 3, 8))
+    Ep = rng.standard_normal((6, 3, 6))
+    O = rng.standard_normal((3, 3, 3, 3))
+    x = rng.standard_normal((8, 3, 6))
+    shapes = (E1.shape, Ep.shape, O.shape)
+    hop = par.sharded_general_hop_factory(mesh22, formula, shapes, x.shape)
+    assert hop is not None
+    out = np.asarray(hop(E1, Ep, O, x.ravel()))
+    ref = np.einsum(formula, E1, Ep, O, x).ravel()
+    np.testing.assert_allclose(out, ref, rtol=1e-10, atol=1e-10)
+
+
+@pytest.mark.fast
+def test_collective_inventory(mesh22):
+    """HLO collective audit: the sharded 2-site hop shows one all-gather per
+    sharded mesh axis with the payload bytes of the gathered output."""
+    from renormalizer_tpu.parallel import hop as phop
+
+    formula = "abc,bdef,fghj,ljk,cehk->adgl"
+    M, w, d = 16, 5, 3
+    shapes = ((M, w, M), (w, d, d, w), (w, d, d, w), (M, w, M))
+    cshape = (M, d, d, M)
+    hop = par.sharded_hop_factory(mesh22, formula, shapes, cshape)
+    import jax.numpy as jnp
+
+    dummies = [jnp.zeros(s) for s in shapes]
+    x = jnp.zeros(int(np.prod(cshape)))
+    inv = phop.collective_inventory(hop, *dummies, x)
+    assert "all-gather" in inv
+    assert inv["all-gather"]["count"] == 2
+    assert inv["all-gather"]["bytes"] > 0
+
+
+@pytest.mark.fast
+def test_engaged_registry_and_audit(mesh22):
+    """record_engagement fills the engaged-executable registry and
+    audit_engaged_collectives compiles + inventories each entry."""
+    from renormalizer_tpu.parallel import hop as phop
+
+    phop.reset_stats()
+    formula = "abc,bdef,fghj,ljk,cehk->adgl"
+    shapes = ((16, 5, 16), (5, 3, 3, 5), (5, 3, 3, 5), (16, 5, 16))
+    cshape = (16, 3, 3, 16)
+    assert phop.record_engagement(mesh22, formula, shapes, cshape)
+    assert phop.record_engagement(mesh22, formula, shapes, cshape)
+    audit = phop.audit_engaged_collectives(mesh22, n_sweeps=2)
+    assert len(audit["executables"]) == 1
+    assert audit["executables"][0]["calls"] == 2
+    per_sweep = audit["per_sweep_lower_bound"]
+    assert per_sweep["all-gather"]["count"] == 2.0  # 2 gathers x 2 calls / 2
 
 
 def test_sector_parallel_candidates_bit_identical(mesh22, monkeypatch):
