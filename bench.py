@@ -273,7 +273,29 @@ def _tdvp_model_mps(renormalizer_pkg):
     return mps, mpo
 
 
-def bench_tdvp():
+def _tdvp_holstein_model_mps():
+    """qn-STRUCTURED TDVP workload (VERDICT r4 #3 done-criterion): a qntot=1
+    Holstein exciton on the DMRG bench chain — every bond carries a
+    non-trivial charge sector, so this measures the qn-masked fused site
+    update rather than the trivial-sector fast path the sbm config hits."""
+    from renormalizer_tpu.model import HolsteinModel, Mol, Phonon
+    from renormalizer_tpu.utils import (EvolveConfig, EvolveMethod, Quantity)
+    from renormalizer_tpu.mps import Mps, Mpo
+
+    args = build_model_args()
+    ph_list = [
+        Phonon.simple_phonon(Quantity(w, "cm-1"), Quantity(d), 4)
+        for w, d in zip(args["omegas_cm"], args["displacements_au"])
+    ]
+    mol = Mol(Quantity(args["elocalex_ev"], "eV"), ph_list)
+    model = HolsteinModel([mol] * args["nmols"], Quantity(args["j_ev"], "eV"))
+    mpo = Mpo(model)
+    mps = Mps.random(model, 1, TDVP_M, percent=1.0)
+    mps.evolve_config = EvolveConfig(EvolveMethod.tdvp_ps, adaptive=False)
+    return mps, mpo
+
+
+def bench_tdvp(model_mps=None):
     """TDVP-PS steps/s (BASELINE.md row 2; ref comparator
     ``renormalizer/mps/mps.py:1267``).  Steady-state protocol mirroring the
     DMRG bench: warm until a step adds no new jit traces (bond dims settle
@@ -282,7 +304,7 @@ def bench_tdvp():
     from renormalizer_tpu.backend import backend
 
     _install_compile_listener()
-    mps, mpo = _tdvp_model_mps("renormalizer_tpu")
+    mps, mpo = model_mps() if model_mps else _tdvp_model_mps("renormalizer_tpu")
     mps = mps.evolve(mpo, TDVP_DT)  # first step: bond growth + compiles
     for _ in range(6):
         before = trace_count()
@@ -556,6 +578,13 @@ def _sub_tdvp():
             "tdvp_step_times_s": step_times}
 
 
+@_sub("tdvp_h")
+def _sub_tdvp_holstein():
+    steps_per_s, step_times = bench_tdvp(_tdvp_holstein_model_mps)
+    return {"tdvp_holstein_steps_per_s": round(steps_per_s, 3),
+            "tdvp_holstein_step_times_s": step_times}
+
+
 @_sub("ref")
 def _sub_ref():
     ref = bench_reference()
@@ -579,7 +608,7 @@ def _run_sub(name, timeout_s=2400, attempts=3, env_extra=None):
         # the TDVP bench runs complex kernels: if the tunnel's compiler
         # rejects complex XLA types, fall back to the all-real split kernels
         # on the later attempts
-        if name == "tdvp" and attempt > 0:
+        if name in ("tdvp", "tdvp_h") and attempt > 0:
             env["RENO_SPLIT_COMPLEX"] = "1"
         try:
             proc = subprocess.run(
@@ -594,8 +623,8 @@ def _run_sub(name, timeout_s=2400, attempts=3, env_extra=None):
             if line.startswith("{"):
                 try:
                     out = json.loads(line)
-                    if name == "tdvp" and attempt > 0:
-                        out["tdvp_split_complex"] = True
+                    if name in ("tdvp", "tdvp_h") and attempt > 0:
+                        out[name + "_split_complex"] = True
                     return out
                 except json.JSONDecodeError:
                     break
@@ -615,7 +644,8 @@ def main():
             json.dump(acc, f)
 
     for name, timeout_s in (("dmrg", 3600), ("ref", 2400), ("matvec", 900),
-                            ("tdvp", 1800), ("ref_tdvp", 1800)):
+                            ("tdvp", 1800), ("tdvp_h", 1800),
+                            ("ref_tdvp", 1800)):
         acc.update(_run_sub(name, timeout_s))
         flush()
 
