@@ -53,6 +53,56 @@ TDVP_STEPS = 4
 # count) and every XLA compile event jax emits (compile count).
 
 _COMPILES = {"n": 0}
+_DISPATCHES = {"n": 0}
+
+
+class _CountingJitted:
+    """Counting proxy over a jitted callable (AOT methods delegate)."""
+
+    def __init__(self, inner):
+        self._inner = inner
+
+    def __call__(self, *a, **k):
+        _DISPATCHES["n"] += 1
+        return self._inner(*a, **k)
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
+def _install_dispatch_counter():
+    """Count every device dispatch the sweep issues (VERDICT r4 #3: publish
+    the DMRG per-site dispatch count): wraps ``jax.jit`` so each call of a
+    jitted closure counts, plus ``dispatch.apply_primitive`` so EAGER ops
+    (each its own tiny executable + relay round trip) count too.  The
+    library reads ``jax.jit`` dynamically inside its lru-cached factories,
+    so installing before the factories run covers every jitted closure."""
+    import jax
+    from jax._src import dispatch as _dispatch
+
+    if getattr(jax.jit, "_bench_counting", False):
+        return
+    real_jit = jax.jit
+
+    def counting_jit(fun=None, **kw):
+        if fun is None:
+            return lambda f: counting_jit(f, **kw)
+        return _CountingJitted(real_jit(fun, **kw))
+
+    counting_jit._bench_counting = True
+    jax.jit = counting_jit
+
+    real_apply = _dispatch.apply_primitive
+
+    def counting_apply(*a, **k):
+        _DISPATCHES["n"] += 1
+        return real_apply(*a, **k)
+
+    _dispatch.apply_primitive = counting_apply
+
+
+def dispatch_count():
+    return _DISPATCHES["n"]
 
 
 def _install_compile_listener():
@@ -104,6 +154,7 @@ def build_model_args():
 
 
 def bench_tpu():
+    _install_dispatch_counter()  # BEFORE the library imports (module jits)
     from renormalizer_tpu.backend import backend
     from renormalizer_tpu.model import HolsteinModel, Mol, Phonon
     from renormalizer_tpu.utils import Quantity
@@ -162,7 +213,7 @@ def bench_tpu():
             criteria=CompressCriteria.fixed, max_bonddim=m)
         backend.sync()
         rtt0 = relay_rtt()
-        tr0, co0 = trace_count(), compile_count()
+        tr0, co0, di0 = trace_count(), compile_count(), dispatch_count()
         plan0 = dict(trunc_device.PLAN_STATS)
         t0 = time.time()
         micro, _, mpo = single_sweep(mps, mpo, environ, None, percent, opt_e_idx)
@@ -189,6 +240,14 @@ def bench_tpu():
             "new_traces": new_traces,
             "new_compiles": new_compiles,
             "plan_paths": plan_delta,
+            # device dispatches this sweep (jit-closure calls + eager-op
+            # executables), divided by the site updates the sweep actually
+            # performed (one plan-path tick per _update_mps call)
+            "dispatches": dispatch_count() - di0,
+            "dispatches_per_site": round(
+                (dispatch_count() - di0)
+                / max(1, sum(v for k, v in plan_delta.items()
+                             if isinstance(v, int))), 1),
         })
         opt_e = min(micro)
         opt_e_idx = opt_e[1]
