@@ -395,6 +395,14 @@ def eigh_iterative(mps, qn_mask, ltensor, rtensor, cmo, omega, cguess):
         cs = [jnp.zeros(dim).at[jnp.asarray(idx)].set(jnp.asarray(v[:, i]))
               for i in range(nroots_arp)]
         return np.asarray(w), sign_fix(cs, nroots_arp)
+    if algo == "primme":
+        # the reference routes DMRG through the PRIMME package when
+        # installed (``renormalizer/mps/gs.py:486-576``); PRIMME is not in
+        # this image, and the PRIMME-class (preconditioned block iterative)
+        # role is filled by the on-device LOBPCG below, so honor the
+        # documented config string rather than erroring out
+        logger.info("algo='primme' honored via the on-device LOBPCG solver")
+        algo = "lobpcg"
     if algo == "lobpcg":
         # fully on-device LOBPCG (jax.experimental); the PRIMME-role option
         # of the reference (``gs.py:486-576``).  lobpcg_standard finds the
@@ -447,7 +455,7 @@ def eigh_iterative(mps, qn_mask, ltensor, rtensor, cmo, omega, cguess):
     if algo != "davidson":
         raise NotImplementedError(
             f"eigensolver algo={algo} is not available; use 'davidson', "
-            "'arpack', 'lobpcg' or 'direct'"
+            "'arpack', 'lobpcg', 'primme' or 'direct'"
         )
     # convergence threshold scaled to the working precision
     from renormalizer_tpu.backend import backend as _backend

@@ -362,3 +362,15 @@ def test_dmrg_lobpcg():
     mps.optimize_config.algo = "lobpcg"
     energies, _ = optimize_mps(mps.copy(), mpo)
     assert min(energies) == pytest.approx(GS_E, rel=1e-5)
+
+
+def test_dmrg_primme_string():
+    """The reference's documented algo='primme' string is honored
+    (PRIMME-class role filled by the on-device LOBPCG;
+    ``renormalizer/mps/gs.py:486-576``)."""
+    mpo = Mpo(holstein_model)
+    mps = Mps.random(holstein_model, 1, 10, percent=1.0)
+    mps.optimize_config.procedure = [[10, 0.4], [20, 0.2], [30, 0.1], [40, 0], [40, 0]]
+    mps.optimize_config.algo = "primme"
+    energies, _ = optimize_mps(mps.copy(), mpo)
+    assert min(energies) == pytest.approx(GS_E, rel=1e-5)
