@@ -215,6 +215,7 @@ def bench_tpu():
         rtt0 = relay_rtt()
         tr0, co0, di0 = trace_count(), compile_count(), dispatch_count()
         plan0 = dict(trunc_device.PLAN_STATS)
+        n_sync0 = len(trunc_device.PLAN_STATS.get("sync_sites", []))
         t0 = time.time()
         micro, _, mpo = single_sweep(mps, mpo, environ, None, percent, opt_e_idx)
         t_dispatch = time.time() - t0
@@ -223,7 +224,10 @@ def bench_tpu():
         rtt1 = relay_rtt()
         new_traces, new_compiles = trace_count() - tr0, compile_count() - co0
         plan_delta = {k: trunc_device.PLAN_STATS[k] - plan0[k]
-                      for k in plan0 if trunc_device.PLAN_STATS[k] != plan0[k]}
+                      for k in plan0
+                      if isinstance(trunc_device.PLAN_STATS.get(k), int)
+                      and trunc_device.PLAN_STATS[k] != plan0[k]}
+        sync_sites = trunc_device.PLAN_STATS.get("sync_sites", [])[n_sync0:]
         # phase attribution (VERDICT r3 #10): `dispatch` is host-side python
         # + async dispatch inside single_sweep, `drain` is the final sync
         # waiting on in-flight device work; the two RTT samples bracketing
@@ -257,7 +261,8 @@ def bench_tpu():
         print(f"[bench] sweep {isweep} ({tag}) {dt:.2f}s "
               f"(dispatch {t_dispatch:.2f}s, rtt {rtt0*1e3:.0f}/{rtt1*1e3:.0f}ms, "
               f"traces +{new_traces}, compiles +{new_compiles}, "
-              f"plan {plan_delta}) "
+              f"plan {plan_delta}"
+              + (f", syncs {sync_sites}" if sync_sites else "") + ") "
               f"e={energy:.6f}", file=sys.stderr, flush=True)
         return dt
 
