@@ -23,11 +23,20 @@ import time
 # compilation over the tunneled device (measured round 5: first two warm
 # sweeps 435 s + 589 s, all dispatch-side compile time).  The cache keys on
 # HLO, so a second bench run (or the retry after a tunnel flake) skips the
-# whole transient.  Must be set before jax initializes.
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.2")
+# whole transient.  NOTE: jax 0.9 string configs do NOT read env vars —
+# ``JAX_COMPILATION_CACHE_DIR`` silently does nothing; the explicit
+# ``jax.config.update`` below is the only working switch.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+
+
+def _enable_persistent_cache():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+    except Exception as e:  # pragma: no cover - older/newer config names
+        print(f"# persistent compile cache unavailable: {e}", file=sys.stderr)
 
 # headline bond dimension; RENO_BENCH_M overrides for the scaling battery
 # (benchmarks/round4_scaling.sh runs M=512/1024 for the compute-bound points)
@@ -155,6 +164,7 @@ def build_model_args():
 
 def bench_tpu():
     _install_dispatch_counter()  # BEFORE the library imports (module jits)
+    _enable_persistent_cache()
     from renormalizer_tpu.backend import backend
     from renormalizer_tpu.model import HolsteinModel, Mol, Phonon
     from renormalizer_tpu.utils import Quantity
@@ -368,6 +378,7 @@ def bench_tdvp(model_mps=None):
     from renormalizer_tpu.backend import backend
 
     _install_compile_listener()
+    _enable_persistent_cache()
     mps, mpo = model_mps() if model_mps else _tdvp_model_mps("renormalizer_tpu")
     mps = mps.evolve(mpo, TDVP_DT)  # first step: bond growth + compiles
     for _ in range(6):
