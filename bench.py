@@ -513,6 +513,28 @@ def bench_matvec(model):
     dt_s = (time.perf_counter() - t0) / niter
     res = {"matvec_ms": round(dt_s * 1e3, 3)}
     kind = jax.devices()[0].device_kind
+    # measured f32 matmul peak: the library enforces true-f32 matmuls
+    # (bf16 passes lose DMRG variationality, see README), and on the MXU
+    # f32 runs as multi-pass bf16 at a fraction of the bf16 number — so the
+    # honest "are we at the wall" denominator is the best f32 GEMM this
+    # chip actually achieves, measured here on a 4096^2 square matmul
+    try:
+        # scaled so repeated powers stay finite (spectral norm ~2*sqrt(n))
+        a_pk = jnp.asarray(
+            (rng.standard_normal((4096, 4096)) / 128.0).astype(np.float32))
+        mm = jax.jit(lambda a: a @ a)
+        y = mm(a_pk)
+        np.asarray(y.ravel()[:1])
+        t0 = time.perf_counter()
+        y = a_pk
+        for _ in range(10):
+            y = mm(y)
+        np.asarray(y.ravel()[:1])
+        pk_dt = (time.perf_counter() - t0) / 10
+        f32_peak = 2 * 4096**3 / pk_dt
+        res["f32_matmul_peak_gflops"] = round(f32_peak / 1e9, 1)
+    except Exception:
+        f32_peak = None
     if flops:
         gflops = flops / dt_s / 1e9
         res["matvec_gflops"] = round(gflops, 1)
@@ -520,6 +542,10 @@ def bench_matvec(model):
         if peak:
             res["matvec_mfu_bf16"] = round(flops / dt_s / peak, 4)
             res["device_kind"] = kind
+        if f32_peak:
+            # fraction of the f32 GEMM rate this chip MEASURABLY sustains:
+            # the wall that binds a precision-constrained DMRG
+            res["matvec_frac_f32_peak"] = round(flops / dt_s / f32_peak, 4)
     # roofline: which wall is the op actually near?  bytes from XLA's cost
     # analysis (HBM traffic of the fused executable)
     if bytes_accessed:
