@@ -34,7 +34,9 @@ def _enable_persistent_cache():
 
     try:
         jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+        # 0.0: the tunneled relay compiles server-side and fast — a 0.2 s
+        # threshold silently skipped almost every executable
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception as e:  # pragma: no cover - older/newer config names
         print(f"# persistent compile cache unavailable: {e}", file=sys.stderr)
 
